@@ -1,0 +1,117 @@
+package graft.core
+
+/** RFC 3986 reference resolution, matching the join semantics the reference
+  * relies on via RDF.rb's `RDF::URI#join` (used at
+  * /root/reference/lib/rdf/microdata/reader.rb:457-468).
+  *
+  * Unlike `java.net.URI`, this tolerates a *relative* base (the reference
+  * resolves against `RDF::URI("")` when no document base exists,
+  * reader.rb:209, producing relative outputs like `<subj>`, `<#name>`), and
+  * resolving the empty reference returns the base itself (doap.html's
+  * `itemid=""` → the document base, /root/reference/etc/doap.nt:1).
+  */
+object Rfc3986 {
+
+  /** Parsed URI components; null = undefined (RFC 3986 distinguishes
+    * undefined from empty).
+    */
+  final case class Parts(scheme: String, authority: String, path: String,
+                         query: String, fragment: String) {
+    def recompose: String = {
+      val sb = new StringBuilder
+      if (scheme != null) { sb ++= scheme; sb += ':' }
+      if (authority != null) { sb ++= "//"; sb ++= authority }
+      sb ++= path
+      if (query != null) { sb += '?'; sb ++= query }
+      if (fragment != null) { sb += '#'; sb ++= fragment }
+      sb.result()
+    }
+  }
+
+  // RFC 3986 appendix B
+  private val UriRe =
+    "^(?:([^:/?#]+):)?(?://([^/?#]*))?([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$".r
+
+  def parse(s: String): Parts = s match {
+    case UriRe(sch, auth, path, q, frag) =>
+      Parts(sch, auth, if (path == null) "" else path, q, frag)
+    case _ => Parts(null, null, s, null, null)
+  }
+
+  /** True when the string carries a scheme (RDF.rb `URI#absolute?`). */
+  def isAbsolute(s: String): Boolean = {
+    val p = parse(s)
+    p.scheme != null && p.scheme.nonEmpty
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments. */
+  def removeDotSegments(path: String): String = {
+    val out = new StringBuilder
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) { in = "/" + in.substring(4); trimLastSegment(out) }
+      else if (in == "/..") { in = "/"; trimLastSegment(out) }
+      else if (in == "." || in == "..") in = ""
+      else {
+        val start = if (in.startsWith("/")) 1 else 0
+        val idx = in.indexOf('/', start)
+        if (idx < 0) { out ++= in; in = "" }
+        else { out ++= in.substring(0, idx); in = in.substring(idx) }
+      }
+    }
+    out.result()
+  }
+
+  private def trimLastSegment(sb: StringBuilder): Unit = {
+    val i = sb.lastIndexOf("/")
+    sb.setLength(if (i < 0) 0 else i)
+  }
+
+  /** RFC 3986 §5.3 merge. */
+  private def merge(base: Parts, refPath: String): String =
+    if (base.authority != null && base.path.isEmpty) "/" + refPath
+    else {
+      val i = base.path.lastIndexOf('/')
+      if (i < 0) refPath else base.path.substring(0, i + 1) + refPath
+    }
+
+  /** RFC 3986 §5.2.2 transform-reference; strict (no backward-compat scheme
+    * shortcut is needed because inputs never repeat the base scheme with a
+    * relative path).
+    */
+  def resolve(baseStr: String, refStr: String): String = {
+    val base = parse(baseStr)
+    val ref = parse(refStr)
+    val t =
+      if (ref.scheme != null)
+        ref.copy(path = removeDotSegments(ref.path))
+      else if (ref.authority != null)
+        Parts(base.scheme, ref.authority, removeDotSegments(ref.path), ref.query, ref.fragment)
+      else if (ref.path.isEmpty) {
+        val q = if (ref.query != null) ref.query else base.query
+        Parts(base.scheme, base.authority, base.path, q, ref.fragment)
+      } else {
+        val p =
+          if (ref.path.startsWith("/")) removeDotSegments(ref.path)
+          else removeDotSegments(merge(base, ref.path))
+        Parts(base.scheme, base.authority, p, ref.query, ref.fragment)
+      }
+    t.recompose
+  }
+
+  /** Strip any fragment (document-base preparation, reader.rb:205-207). */
+  def stripFragment(s: String): String = {
+    val i = s.indexOf('#')
+    if (i < 0) s else s.substring(0, i)
+  }
+
+  /** Return base with its fragment set to `frag` (predicateURI step 2,
+    * registry.rb:67-70).
+    */
+  def withFragment(base: String, frag: String): String =
+    stripFragment(base) + "#" + frag
+}

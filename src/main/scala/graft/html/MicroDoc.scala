@@ -1,0 +1,271 @@
+package graft.html
+
+import scala.collection.mutable
+
+/** Minimal, dependency-free HTML5-subset DOM for microdata extraction.
+  *
+  * Plays the role Nokogiri plays for the reference
+  * (/root/reference/lib/rdf/microdata/reader/nokogiri.rb): it only needs to
+  * expose the accessors the extraction algorithm consumes — element tree,
+  * attributes, inherited `lang` (nokogiri.rb:36-47) and `xml:base`
+  * (nokogiri.rb:51-59), `inner_text`, document-wide first-id lookup
+  * (nokogiri.rb:241-243), and top-level item discovery (nokogiri.rb:235-237).
+  *
+  * Parsing is forgiving: unknown/mismatched end tags are ignored, HTML5 void
+  * elements never take children, `<p>`/`<li>`/`<dt>`/`<dd>` end-tag omission
+  * is honored, comments/doctype are skipped, and entities are decoded in both
+  * text and attribute values. Documents are row-local in the Spark pipeline,
+  * so this parser is single-threaded per row and allocation-light.
+  */
+object MicroDoc {
+
+  sealed trait Node
+  final case class Text(value: String) extends Node
+
+  final class Elem(val tag: String) extends Node {
+    val attrs = mutable.LinkedHashMap.empty[String, String]
+    val children = mutable.ArrayBuffer.empty[Node]
+    var parent: Elem = _
+    /** Stable structural path from root, e.g. "0.2.1" — the deterministic
+      * replacement for Ruby object identity (reader.rb:236 fresh bnodes,
+      * memory keyed by element): content-addressed skolem IDs hash this.
+      */
+    var path: String = ""
+
+    def attr(name: String): Option[String] = attrs.get(name)
+    def has(name: String): Boolean = attrs.contains(name)
+
+    def elements: Seq[Elem] = children.collect { case e: Elem => e }.toSeq
+
+    /** Inherited language: own `lang` else nearest ancestor's. */
+    def language: String = {
+      var e: Elem = this
+      while (e != null) {
+        e.attrs.get("xml:lang").orElse(e.attrs.get("lang")) match {
+          case Some(l) if l.nonEmpty => return l
+          case Some(_) => return null // explicit lang="" resets
+          case None => e = e.parent
+        }
+      }
+      null
+    }
+
+    /** Inherited xml:base, or null. */
+    def base: String = {
+      var e: Elem = this
+      while (e != null) {
+        e.attrs.get("xml:base") match {
+          case Some(b) => return b
+          case None => e = e.parent
+        }
+      }
+      null
+    }
+
+    def innerText: String = {
+      val sb = new StringBuilder
+      def walk(n: Node): Unit = n match {
+        case Text(v) => sb ++= v
+        case e: Elem => e.children.foreach(walk)
+      }
+      children.foreach(walk)
+      sb.result()
+    }
+
+    /** Document-order self-and-descendants. */
+    def descendantsAndSelf: Iterator[Elem] =
+      Iterator.single(this) ++ elements.iterator.flatMap(_.descendantsAndSelf)
+  }
+
+  /** Parsed document. `root` is a synthetic container so bare fragments
+    * (most spec fixtures) parse uniformly.
+    */
+  final class Doc(val root: Elem) {
+    /** First element per id, document order (nokogiri.rb:241-243 at_css). */
+    lazy val byId: Map[String, Elem] = {
+      val m = mutable.LinkedHashMap.empty[String, Elem]
+      root.descendantsAndSelf.foreach { e =>
+        e.attr("id").foreach(id => if (!m.contains(id)) m(id) = e)
+      }
+      m.toMap
+    }
+
+    /** Top-level items: `[itemscope]` without `@itemprop`
+      * (nokogiri.rb:235-237).
+      */
+    def topLevelItems: Seq[Elem] =
+      root.descendantsAndSelf.filter(e => e.has("itemscope") && !e.has("itemprop")).toSeq
+
+    /** `html>head>base@href`, fragment-stripped by the caller
+      * (nokogiri.rb:224-229). Forgiving: first <base href> anywhere.
+      */
+    def docBase: Option[String] =
+      root.descendantsAndSelf.find(e => e.tag == "base" && e.has("href"))
+        .flatMap(_.attr("href"))
+  }
+
+  private val VoidTags = Set(
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr")
+
+  // HTML5 tags whose start implies </p>
+  private val ClosesP = Set(
+    "address", "article", "aside", "blockquote", "details", "div", "dl",
+    "fieldset", "figcaption", "figure", "footer", "form", "h1", "h2", "h3",
+    "h4", "h5", "h6", "header", "hr", "main", "menu", "nav", "ol", "p",
+    "pre", "section", "table", "ul")
+
+  private val RawText = Set("script", "style")
+
+  def parse(html: String): Doc = {
+    val root = new Elem("#root")
+    val stack = mutable.ArrayBuffer[Elem](root)
+    val s = html
+    lazy val lower = s.toLowerCase
+    val n = s.length
+    var i = 0
+    val text = new StringBuilder
+
+    def flushText(): Unit = {
+      if (text.nonEmpty) {
+        stack.last.children += Text(decodeEntities(text.result()))
+        text.clear()
+      }
+    }
+    def openElem(e: Elem): Unit = {
+      val p = stack.last
+      e.parent = if (p eq root) null else p
+      e.path = (if (p eq root) "" else p.path + ".") + p.children.length
+      p.children += e
+    }
+
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c != '<') { text += c; i += 1 }
+      else if (i + 1 >= n) { text += c; i += 1 }
+      else {
+        val c1 = s.charAt(i + 1)
+        if (c1 == '!') {
+          flushText()
+          if (s.startsWith("<!--", i)) {
+            val e = s.indexOf("-->", i + 4)
+            i = if (e < 0) n else e + 3
+          } else {
+            val e = s.indexOf('>', i)
+            i = if (e < 0) n else e + 1
+          }
+        } else if (c1 == '?') {
+          flushText()
+          val e = s.indexOf('>', i)
+          i = if (e < 0) n else e + 1
+        } else if (c1 == '/') {
+          flushText()
+          var j = i + 2
+          val t0 = j
+          while (j < n && s.charAt(j) != '>') j += 1
+          val name = s.substring(t0, j).trim.toLowerCase
+          // pop to matching open tag; ignore if not on stack
+          val at = stack.lastIndexWhere(_.tag == name)
+          if (at > 0) stack.takeInPlace(at)
+          i = if (j < n) j + 1 else n
+        } else if (c1.isLetter) {
+          flushText()
+          var j = i + 1
+          val t0 = j
+          while (j < n && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '-')) j += 1
+          val tag = s.substring(t0, j).toLowerCase
+          val e = new Elem(tag)
+          var selfClose = false
+          // attributes
+          var done = false
+          while (!done && j < n) {
+            while (j < n && s.charAt(j).isWhitespace) j += 1
+            if (j >= n) done = true
+            else s.charAt(j) match {
+              case '>' => j += 1; done = true
+              case '/' =>
+                j += 1
+                if (j < n && s.charAt(j) == '>') { j += 1; selfClose = true; done = true }
+              case _ =>
+                val a0 = j
+                while (j < n && !s.charAt(j).isWhitespace &&
+                       s.charAt(j) != '=' && s.charAt(j) != '>' && s.charAt(j) != '/') j += 1
+                val aname = s.substring(a0, j).toLowerCase
+                while (j < n && s.charAt(j).isWhitespace) j += 1
+                var avalue = ""
+                if (j < n && s.charAt(j) == '=') {
+                  j += 1
+                  while (j < n && s.charAt(j).isWhitespace) j += 1
+                  if (j < n && (s.charAt(j) == '"' || s.charAt(j) == '\'')) {
+                    val q = s.charAt(j); j += 1
+                    val v0 = j
+                    while (j < n && s.charAt(j) != q) j += 1
+                    avalue = s.substring(v0, j)
+                    if (j < n) j += 1
+                  } else {
+                    val v0 = j
+                    while (j < n && !s.charAt(j).isWhitespace && s.charAt(j) != '>') j += 1
+                    avalue = s.substring(v0, j)
+                  }
+                }
+                if (aname.nonEmpty && !e.attrs.contains(aname))
+                  e.attrs(aname) = decodeEntities(avalue)
+            }
+          }
+          // implied end tags
+          if (ClosesP.contains(tag) && stack.last.tag == "p") stack.dropRightInPlace(1)
+          if ((tag == "li" && stack.last.tag == "li") ||
+              ((tag == "dt" || tag == "dd") && (stack.last.tag == "dt" || stack.last.tag == "dd")))
+            stack.dropRightInPlace(1)
+          openElem(e)
+          if (!selfClose && !VoidTags.contains(tag)) {
+            if (RawText.contains(tag)) {
+              val close = "</" + tag
+              val e2 = lower.indexOf(close, j)
+              val end = if (e2 < 0) n else e2
+              if (end > j) e.children += Text(s.substring(j, end))
+              val gt = s.indexOf('>', end)
+              j = if (gt < 0) n else gt + 1
+            } else stack += e
+          }
+          i = j
+        } else { text += c; i += 1 }
+      }
+    }
+    flushText()
+    new Doc(root)
+  }
+
+  def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val ent = s.substring(i + 1, semi)
+          val decoded: String = ent match {
+            case "amp" => "&"
+            case "lt" => "<"
+            case "gt" => ">"
+            case "quot" => "\""
+            case "apos" => "'"
+            case "nbsp" => " "
+            case _ if ent.startsWith("#x") || ent.startsWith("#X") =>
+              try new String(Character.toChars(Integer.parseInt(ent.substring(2), 16)))
+              catch { case _: Exception => null }
+            case _ if ent.startsWith("#") =>
+              try new String(Character.toChars(Integer.parseInt(ent.substring(1))))
+              catch { case _: Exception => null }
+            case _ => null
+          }
+          if (decoded != null) { sb ++= decoded; i = semi + 1 }
+          else { sb += c; i += 1 }
+        } else { sb += c; i += 1 }
+      } else { sb += c; i += 1 }
+    }
+    sb.result()
+  }
+}

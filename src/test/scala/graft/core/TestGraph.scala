@@ -1,0 +1,94 @@
+package graft.core
+
+import graft.model.{RawTriple, Term}
+import org.scalatest.Assertions._
+
+/** Golden-test harness: extraction + bnode-bijection graph isomorphism,
+  * the comparison rule the reference's specs use (`be_equivalent_graph`,
+  * /root/reference/spec/reader_spec.rb:902-907).
+  */
+object TestGraph {
+
+  lazy val testRegistry: RegistryIndex =
+    RegistryIndex.fromJson(resource("/golden/test-registry.json"))
+
+  def resource(path: String): String = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing test resource $path")
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  def extract(html: String, base: String = null,
+              registry: RegistryIndex = testRegistry): ExtractResult =
+    Extractor.extract(html, "testdoc", base, registry)
+
+  /** Rename bnodes (skolem or `_:` labels) to positional `_:b<i>` is NOT
+    * done — instead both graphs keep their labels and we search a bijection.
+    */
+  private def isBnode(s: String): Boolean =
+    s.startsWith("_:") || Extractor.isSkolem(s)
+
+  private def bnodes(g: Set[RawTriple]): Vector[String] =
+    g.iterator.flatMap { t =>
+      Iterator(t.subj) ++ (t.obj match {
+        case Term.Iri(v) => Iterator(v)
+        case _ => Iterator.empty
+      })
+    }.filter(isBnode).toVector.distinct
+
+  private def mapped(g: Set[RawTriple], m: Map[String, String]): Set[RawTriple] =
+    g.map { t =>
+      val s = m.getOrElse(t.subj, t.subj)
+      val o = t.obj match {
+        case Term.Iri(v) => Term.Iri(m.getOrElse(v, v))
+        case l => l
+      }
+      RawTriple(s, t.pred, o)
+    }
+
+  def isomorphic(a0: Seq[RawTriple], b0: Seq[RawTriple]): Boolean = {
+    val a = a0.toSet
+    val b = b0.toSet
+    if (a.size != b.size) return false
+    val ab = bnodes(a)
+    val bb = bnodes(b)
+    if (ab.size != bb.size) return false
+    // backtracking over bijections; graphs here are tiny (≤ ~8 bnodes)
+    def search(rem: List[String], avail: Set[String], m: Map[String, String]): Boolean =
+      rem match {
+        case Nil => mapped(a, m) == b
+        case x :: rest =>
+          avail.exists(y => search(rest, avail - y, m + (x -> y)))
+      }
+    search(ab.toList, bb.toSet, Map.empty)
+  }
+
+  def assertIsomorphic(actual: Seq[RawTriple], expectedNt: String, clue: String = ""): Unit = {
+    val expected = NTriples.parse(expectedNt)
+    if (!isomorphic(actual, expected)) {
+      fail(s"""graphs not isomorphic $clue
+           |--- actual (${actual.toSet.size}):
+           |${NTriples.serialize(actual.toSet.toVector.sortBy((t: RawTriple) => t.toString))}
+           |--- expected (${expected.toSet.size}):
+           |${NTriples.serialize(expected.toSet.toVector.sortBy((t: RawTriple) => t.toString))}
+           |""".stripMargin)
+    }
+  }
+
+  /** Extract `md` and compare with `nt`, both possibly using the spec's
+    * Person context wrappers (reader_spec.rb:73-81).
+    */
+  def checkCtx(md: String, nt: String): Unit = {
+    val mdDoc = s"""<div itemscope='' itemtype="http://schema.org/Person">
+         $md
+        </div>"""
+    val ntDoc =
+      "_:a <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://schema.org/Person> .\n" + nt
+    check(mdDoc, ntDoc)
+  }
+
+  def check(md: String, nt: String, base: String = null): Unit = {
+    val res = extract(md, base)
+    assertIsomorphic(res.triples, nt, s"for markup: $md")
+  }
+}
