@@ -1,24 +1,54 @@
 package graft
+
+import graft.spark.{ExtractPipeline, GraftSession, Transcripts}
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: every SparkEntry query on SPARK_GRAFT_SF_DIR,
+  * plus the headline triple-extraction throughput, printed as ONE JSON line.
+  */
 object Bench {
+  def timeIt[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Headline metric: extraction throughput (triples/sec) over synthetic
+    * transcripts sized to the sf directory.
+    */
+  def extractionThroughput(spark: SparkSession, nTurns: Long): (Long, Double) = {
+    val transcripts = Transcripts.synthetic(spark, nTurns, math.max(nTurns / 20, 1))
+    val (n, secs) = timeIt {
+      ExtractPipeline.extract(transcripts).count()
+    }
+    (n, secs)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cpus)
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, secs) = timeIt {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+      }
+      name -> secs
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // headline: synthetic-transcript extraction, ~sf-scaled turn count
+    val nTurns = if (sfDir.contains("sf0.001")) 20000L
+                 else if (sfDir.contains("sf0.01")) 100000L else 500000L
+    val (triples, extractSecs) = extractionThroughput(spark, nTurns)
+    val tps = (triples / extractSecs).toLong
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + extractSecs
+    val totalStr = f"$total%.3f"
+    val exStr = f"$extractSecs%.3f"
+    println(
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_turns":$nTurns,"extract_triples":$triples,"extract_secs":$exStr,"triples_per_sec":$tps}""")
     spark.stop()
   }
 }

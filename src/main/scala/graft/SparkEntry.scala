@@ -1,13 +1,340 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.model.Triple
+import graft.ops.{TextOps, VectorOps}
+import graft.spark.{Entailment, ExtractPipeline, Transcripts}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every `queries` entry is deterministic and fully sorted; each oracleSql
+  * entry reconstructs the *expected* output in ANSI SQL (DuckDB) straight
+  * from the source parquet tables, so the KG queries gate the whole
+  * parse→extract→canonicalize path end-to-end.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+  private def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Canonical triples from the customer-derived transcripts. */
+  private def customerTriples(s: SparkSession, dir: String): Dataset[Triple] =
+    ExtractPipeline.canonicalize(
+      ExtractPipeline.extract(Transcripts.customers(s, dir)))
+
+  /** Flagship: full extraction pipeline over all three transcript shapes
+    * at sf=0.001; driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val all = Transcripts.customers(spark, dir)
+      .unionByName(Transcripts.orders(spark, dir))
+      .unionByName(Transcripts.suppliers(spark, dir))
+    ExtractPipeline.canonicalize(ExtractPipeline.extract(all)).toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- KG extraction (oracle reconstructs expected triples) ----
+    "kg_types" -> ((s, dir) =>
+      customerTriples(s, dir)
+        .filter(col("pred") === RdfType)
+        .select(col("subj"), col("obj_iri"))
+        .orderBy(col("subj"), col("obj_iri"))),
+
+    "kg_literals" -> ((s, dir) =>
+      customerTriples(s, dir)
+        .filter(col("obj_iri").isNull)
+        .select(col("subj"), col("pred"), col("obj_lexical"), col("obj_datatype"), col("obj_lang"))
+        .orderBy(col("subj"), col("pred"), col("obj_lexical"))),
+
+    "kg_links" -> ((s, dir) =>
+      customerTriples(s, dir)
+        .filter(col("obj_iri").isNotNull && col("pred") =!= RdfType)
+        .select(col("subj"), col("pred"), col("obj_iri"))
+        .orderBy(col("subj"), col("pred"), col("obj_iri"))),
+
+    "kg_itemref" -> ((s, dir) =>
+      ExtractPipeline.canonicalize(
+          ExtractPipeline.extract(Transcripts.orders(s, dir)))
+        .select(col("subj"), col("pred"), col("obj_iri"), col("obj_lexical"), col("obj_datatype"))
+        .orderBy(col("subj"), col("pred"), col("obj_iri"), col("obj_lexical"))),
+
+    "kg_reverse" -> ((s, dir) =>
+      ExtractPipeline.canonicalize(
+          ExtractPipeline.extract(Transcripts.suppliers(s, dir)))
+        .filter(col("pred") === "http://schema.org/seller")
+        .select(col("subj"), col("pred"), col("obj_iri"))
+        .orderBy(col("subj"))),
+
+    "kg_entail" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Seq(
+        Triple("http://schema.org/name", Entailment.SubPropertyOf,
+          "http://ex.org/label", null, null, null, "schema", -1),
+        Triple("http://ex.org/label", Entailment.EquivalentProperty,
+          "http://ex.org/title", null, null, null, "schema", -1)).toDS()
+      Entailment.owlEntail(customerTriples(s, dir).unionByName(edges))
+        .filter(col("pred").isin("http://ex.org/label", "http://ex.org/title"))
+        .select(col("subj"), col("pred"), col("obj_lexical"))
+        .orderBy(col("subj"), col("pred"), col("obj_lexical"))
+    }),
+
+    "kg_turn_order" -> ((s, dir) => {
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      Transcripts.customers(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          md5(col("text")).as("text_md5"),
+          row_number().over(w).cast("long").as("rn"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    }),
+
+    "kg_lineage" -> ((s, dir) =>
+      ExtractPipeline.extract(Transcripts.customers(s, dir))
+        .groupBy(col("conv_id"))
+        .agg(count(lit(1)).as("n_triples"))
+        .orderBy(col("conv_id"))),
+
+    // ---- classic relational (joins / aggregation) ----
+    "q1_pricing" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_base"),
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+            .cast("decimal(18,4)").as("sum_disc_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q3_top_orders" -> ((s, dir) => {
+      val c = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = table(s, dir, "orders")
+      val l = table(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+          .cast("decimal(18,4)").as("revenue"))
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"), col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "events_hourly" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 4).as("min_value"),
+          round(max(col("value")), 4).as("max_value"))
+        .orderBy(col("hour"), col("event_type"))),
+
+    // ---- training-data pipeline: text analysis ----
+    "doc_token_stats" -> ((s, dir) =>
+      TextOps.tokenStats(table(s, dir, "documents"))
+        .select(col("doc_id"), col("chars").cast("long").as("chars"),
+          col("tokens").cast("long").as("tokens"),
+          col("distinct_tokens").cast("long").as("distinct_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "doc_quality" -> ((s, dir) =>
+      TextOps.qualityScore(table(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    "doc_langid" -> ((s, dir) =>
+      TextOps.langId(table(s, dir, "documents"))
+        .select(col("doc_id"), col("lang_guess"), col("lang_score").cast("long").as("lang_score"))
+        .orderBy(col("doc_id"))),
+
+    "doc_exact_dups" -> ((s, dir) =>
+      TextOps.exactDupGroups(table(s, dir, "documents"))
+        .orderBy(col("text_md5"))),
+
+    "doc_jaccard_pairs" -> ((s, dir) =>
+      TextOps.jaccardPairs(table(s, dir, "documents"), k = 2, threshold = 0.1)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // probabilistic / hash-specific ops: rows-only check (no portable SQL)
+    "doc_minhash_pairs" -> ((s, dir) =>
+      TextOps.minhashLshPairs(table(s, dir, "documents"), k = 2,
+          numHashes = 32, bands = 16, threshold = 0.1)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "doc_simhash" -> ((s, dir) =>
+      TextOps.simhash(table(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    "doc_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(table(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    // ---- similarity search over embeddings ----
+    "sim_cosine_pairs" -> ((s, dir) =>
+      VectorOps.cosinePairs(table(s, dir, "embeddings"), threshold = 0.4)
+        .orderBy(col("vec_a"), col("vec_b"))),
+
+    "sim_topk" -> ((s, dir) =>
+      VectorOps.topK(table(s, dir, "embeddings"), k = 5)
+        .select(col("vec_a"), col("vec_b"), col("cos_sim"), col("rank").cast("long").as("rank"))
+        .orderBy(col("vec_a"), col("rank"))),
+
+    "sim_lsh_pairs" -> ((s, dir) =>
+      VectorOps.lshBucketedPairs(table(s, dir, "embeddings"), nBits = 8, threshold = 0.3)
+        .orderBy(col("vec_a"), col("vec_b"))))
+
+  /** DuckDB-runnable expected results. Omitted for the probabilistic /
+    * engine-hash-specific ops (doc_minhash_pairs, doc_simhash,
+    * doc_fingerprint, sim_lsh_pairs) → driver records rows-only checks.
+    */
+  def oracleSql: Map[String, String] = {
+    val custMarkup =
+      """printf('Here is customer %d: <div itemscope itemtype="http://schema.org/Person" itemid="http://ex.org/customer/%d" lang="en"><span itemprop="name">%s</span><data itemprop="acctbal" value="%s"/><span itemprop="segment" content="%s">segment</span><div itemprop="nation" itemscope itemtype="http://schema.org/Country" itemid="http://ex.org/nation/%d"><span itemprop="name">%s</span></div><link itemprop="additionalType" href="http://ex.org/class/Customer"></div> done.', c_custkey, c_custkey, c_name, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR), c_mktsegment, c_nationkey, n_name)"""
+    Map(
+      "kg_types" ->
+        """SELECT subj, obj_iri FROM (
+          |  SELECT 'http://ex.org/customer/' || c_custkey AS subj, 'http://schema.org/Person' AS obj_iri FROM customer WHERE c_custkey % 7 <> 0
+          |  UNION ALL SELECT 'http://ex.org/customer/' || c_custkey, 'http://ex.org/class/Customer' FROM customer WHERE c_custkey % 7 <> 0
+          |  UNION ALL SELECT DISTINCT 'http://ex.org/nation/' || c_nationkey, 'http://schema.org/Country' FROM customer WHERE c_custkey % 7 <> 0
+          |) t ORDER BY subj, obj_iri""".stripMargin,
+
+      "kg_literals" ->
+        """WITH c AS (SELECT * FROM customer WHERE c_custkey % 7 <> 0)
+          |SELECT subj, pred, obj_lexical, obj_datatype, obj_lang FROM (
+          |  SELECT 'http://ex.org/customer/' || c_custkey AS subj, 'http://schema.org/name' AS pred, c_name AS obj_lexical, CAST(NULL AS VARCHAR) AS obj_datatype, 'en' AS obj_lang FROM c
+          |  UNION ALL SELECT 'http://ex.org/customer/' || c_custkey, 'http://schema.org/segment', c_mktsegment, NULL, 'en' FROM c
+          |  UNION ALL SELECT 'http://ex.org/customer/' || c_custkey, 'http://schema.org/acctbal', CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR), 'http://www.w3.org/2001/XMLSchema#double', NULL FROM c
+          |  UNION ALL SELECT DISTINCT 'http://ex.org/nation/' || c_nationkey, 'http://schema.org/name', n_name, NULL, 'en' FROM c JOIN nation ON c_nationkey = n_nationkey
+          |) t ORDER BY subj, pred, obj_lexical""".stripMargin,
+
+      "kg_links" ->
+        """WITH c AS (SELECT c_custkey AS k, c_nationkey AS nk FROM customer WHERE c_custkey % 7 <> 0)
+          |SELECT subj, pred, obj_iri FROM (
+          |  SELECT 'http://ex.org/customer/' || k AS subj, 'http://schema.org/nation' AS pred, 'http://ex.org/nation/' || nk AS obj_iri FROM c
+          |  UNION ALL SELECT 'http://ex.org/customer/' || k, 'http://schema.org/additionalType', 'http://ex.org/class/Customer' FROM c
+          |) t ORDER BY subj, pred, obj_iri""".stripMargin,
+
+      "kg_itemref" ->
+        """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS s, strftime(o_orderdate, '%Y-%m-%d') AS d FROM orders WHERE o_orderkey % 20 = 0)
+          |SELECT subj, pred, obj_iri, obj_lexical, obj_datatype FROM (
+          |  SELECT 'http://ex.org/order/' || k AS subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred, 'https://schema.org/Order' AS obj_iri, CAST(NULL AS VARCHAR) AS obj_lexical, CAST(NULL AS VARCHAR) AS obj_datatype FROM o
+          |  UNION ALL SELECT 'http://ex.org/invoice/' || k, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'https://schema.org/Invoice', NULL, NULL FROM o
+          |  UNION ALL SELECT 'http://ex.org/order/' || k, 'https://schema.org/orderStatus', NULL, s, NULL FROM o
+          |  UNION ALL SELECT 'http://ex.org/invoice/' || k, 'https://schema.org/orderStatus', NULL, s, NULL FROM o
+          |  UNION ALL SELECT 'http://ex.org/order/' || k, 'https://schema.org/orderDate', NULL, d, 'http://www.w3.org/2001/XMLSchema#date' FROM o
+          |  UNION ALL SELECT 'http://ex.org/invoice/' || k, 'https://schema.org/orderDate', NULL, d, 'http://www.w3.org/2001/XMLSchema#date' FROM o
+          |) t ORDER BY subj, pred, obj_iri NULLS FIRST, obj_lexical NULLS FIRST""".stripMargin,
+
+      "kg_reverse" ->
+        """SELECT 'http://ex.org/offer/' || s_suppkey AS subj, 'http://schema.org/seller' AS pred, 'http://ex.org/supplier/' || s_suppkey AS obj_iri
+          |FROM supplier ORDER BY subj""".stripMargin,
+
+      "kg_entail" ->
+        """WITH names AS (
+          |  SELECT 'http://ex.org/customer/' || c_custkey AS subj, c_name AS obj_lexical FROM customer WHERE c_custkey % 7 <> 0
+          |  UNION ALL SELECT DISTINCT 'http://ex.org/nation/' || c_nationkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey % 7 <> 0
+          |)
+          |SELECT subj, pred, obj_lexical FROM (
+          |  SELECT subj, 'http://ex.org/label' AS pred, obj_lexical FROM names
+          |  UNION ALL SELECT subj, 'http://ex.org/title', obj_lexical FROM names
+          |) t ORDER BY subj, pred, obj_lexical""".stripMargin,
+
+      "kg_turn_order" ->
+        s"""WITH t AS (
+           |  SELECT 'conv-' || (c_custkey % 100) AS conv_id,
+           |         CAST(c_custkey // 100 AS INT) AS turn_idx,
+           |         CASE WHEN c_custkey % 7 = 0 THEN printf('Let me look up customer %d for you.', c_custkey)
+           |              ELSE $custMarkup END AS text
+           |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+           |SELECT conv_id, turn_idx, md5(text) AS text_md5,
+           |       row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+           |FROM t ORDER BY conv_id, turn_idx""".stripMargin,
+
+      "kg_lineage" ->
+        """SELECT 'conv-' || (c_custkey % 100) AS conv_id, 9 * count(*) AS n_triples
+          |FROM customer WHERE c_custkey % 7 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q1_pricing" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+          |  COUNT(*) AS n_rows
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q3_top_orders" ->
+        """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY o_orderkey, o_orderdate
+          |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+      "events_hourly" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+          |  COUNT(*) AS n, ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS max_value
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "doc_token_stats" ->
+        """SELECT doc_id, length(text) AS chars, len(string_split(text, ' ')) AS tokens,
+          |  len(list_distinct(string_split(text, ' '))) AS distinct_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "doc_quality" ->
+        """SELECT doc_id,
+          |  ROUND(CAST(len(string_split(text, ' ')) AS DOUBLE) / GREATEST(length(text), 1), 4) AS token_density,
+          |  ROUND(CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) / GREATEST(len(string_split(text, ' ')), 1), 4) AS stopword_ratio,
+          |  ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / GREATEST(len(string_split(text, ' ')), 1), 4) AS distinct_ratio
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "doc_langid" ->
+        """WITH s AS (
+          |  SELECT doc_id,
+          |    len(list_filter(string_split(lower(text), ' '), x -> list_contains(['the','and','is','of'], x))) AS s_en,
+          |    len(list_filter(string_split(lower(text), ' '), x -> list_contains(['der','und','ist','das'], x))) AS s_de,
+          |    len(list_filter(string_split(lower(text), ' '), x -> list_contains(['le','et','est','les'], x))) AS s_fr,
+          |    len(list_filter(string_split(lower(text), ' '), x -> list_contains(['el','y','es','los'], x))) AS s_es
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+          |       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+          |       WHEN s_en >= s_de THEN 'en' ELSE 'de' END AS lang_guess,
+          |  GREATEST(s_en, s_de, s_fr, s_es) AS lang_score
+          |FROM s ORDER BY doc_id""".stripMargin,
+
+      "doc_exact_dups" ->
+        """SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "doc_jaccard_pairs" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS shingle FROM toks),
+          |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          |j AS (SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
+          |      FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b)
+          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY doc_a, doc_b""".stripMargin,
+
+      "sim_cosine_pairs" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          |        list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+          |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+          |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos_sim FROM p WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+
+      "sim_topk" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          |        list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+          |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+          |r AS (SELECT vec_a, vec_b, cos, row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b) AS rank FROM p)
+          |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos_sim, rank FROM r WHERE rank <= 5 ORDER BY vec_a, rank""".stripMargin)
+  }
 }

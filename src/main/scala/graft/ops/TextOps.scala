@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-corpus operators for a large-scale training-data pipeline, all
+  * expressed as Catalyst column expressions (whole-stage-codegen friendly;
+  * no UDFs in the hot path) over the `documents` table
+  * (doc_id, text, lang, source, n_chars).
+  */
+object TextOps {
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** Per-document token/char statistics (token counting operator). */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("chars"),
+      size(tokens(col("text"))).as("tokens"),
+      size(array_distinct(tokens(col("text")))).as("distinct_tokens"))
+
+  /** Quality scoring: length, mean token length, stopword ratio,
+    * punctuation ratio, repetition (distinct/total tokens). Heuristics are
+    * deliberately simple and deterministic — scale costs nothing since it
+    * is one codegen'd projection.
+    */
+  val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    val stopCount = size(filter(t, x => array_contains(stopArr, x)))
+    docs.select(
+      col("doc_id"),
+      round(size(t).cast("double") / greatest(length(col("text")), lit(1)), 4).as("token_density"),
+      round(stopCount.cast("double") / greatest(size(t), lit(1)), 4).as("stopword_ratio"),
+      round(size(array_distinct(t)).cast("double") / greatest(size(t), lit(1)), 4).as("distinct_ratio"))
+  }
+
+  /** N-gram heuristic language ID: score against tiny per-language marker
+    * sets; deterministic argmax with alphabetic tiebreak.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "is", "of"),
+    "de" -> Seq("der", "und", "ist", "das"),
+    "fr" -> Seq("le", "et", "est", "les"),
+    "es" -> Seq("el", "y", "es", "los"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val t = tokens(lower(col("text")))
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      val arr = array(ms.map(lit): _*)
+      struct(size(filter(t, x => array_contains(arr, x))).as("score"), lit(lang).as("lang"))
+    }
+    docs.select(
+      col("doc_id"),
+      sort_array(array(scores: _*), asc = false).getItem(0).getField("lang").as("lang_guess"),
+      sort_array(array(scores: _*), asc = false).getItem(0).getField("score").as("lang_score"))
+  }
+
+  /** Rolling-hash document fingerprint (content-defined, order-sensitive):
+    * polynomial hash over tokens via Horner's rule with aggregate().
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      aggregate(tokens(col("text")), lit(0L),
+        (acc, x) => pmod(acc * 31L + pmod(xxhash64(x), lit(1000003L)),
+          lit(999999999999989L))).as("fingerprint"))
+
+  /** Exact duplicate groups by full-text hash (hash-groupBy dedup).
+    * Map-side partial aggregation makes this one cheap shuffle of
+    * (hash → counts), not of documents.
+    */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+
+  /** Distinct word k-shingles per document. */
+  def shingles(docs: DataFrame, k: Int): DataFrame = {
+    val t = tokens(col("text"))
+    val sh = transform(sequence(lit(0), size(t) - k),
+      i => concat_ws(" ", slice(t, i + 1, lit(k))))
+    docs.select(col("doc_id"), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs ≥ threshold: explode
+    * distinct shingles, self-join on shingle (shuffle co-partitioned on the
+    * shingle key), count intersections, compute |A∩B| / (|A|+|B|-|A∩B|).
+    * At scale the shingle join is the classic "documents never pair
+    * all-vs-all" trick: cost is Σ bucket².
+    */
+  def jaccardPairs(docs: DataFrame, k: Int, threshold: Double): DataFrame = {
+    val sh = shingles(docs, k)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.
+    * numHashes independent permutations approximated by seeded xxhash64;
+    * rows (numHashes/bands per band) hashed to a band key; candidate pairs
+    * share ≥1 band bucket — the join is on (band, signature-slice), never
+    * all-pairs. Probabilistic recall; verification keeps precision exact.
+    */
+  def minhashLshPairs(docs: DataFrame, k: Int, numHashes: Int, bands: Int,
+                      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sh = shingles(docs, k)
+    // signature: for each seed, min over shingles of xxhash64(seed, shingle)
+    val sigCols = (0 until numHashes).map(s => min(xxhash64(lit(s), col("shingle"))).as(s"h$s"))
+    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * rows until (b + 1) * rows).map(s => col(s"h$s")): _*).as("sig")).as(s"b$b")
+    }
+    val banded = sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), explode(array((0 until bands).map(b => col(s"b$b")): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification of candidates only
+    val sh2 = sh
+    val inter = cand
+      .join(sh2.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingle", "sh_a"), "doc_a")
+      .join(sh2.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingle", "sh_b"), "doc_b")
+      .filter(col("sh_a") === col("sh_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** SimHash (64-bit) per document: per-token hash bits weighted ±1,
+    * sign-aggregated. Near-dups have small Hamming distance.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    // for each bit position, sum(+1/-1) over tokens; set bit if positive
+    val bits = (0 until 64).map { i =>
+      val vote = aggregate(t, lit(0),
+        (acc, x) => acc + when(shiftright(xxhash64(x), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    docs.select(col("doc_id"), bits.reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+}

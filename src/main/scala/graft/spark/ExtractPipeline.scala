@@ -1,0 +1,129 @@
+package graft.spark
+
+import graft.core.{Extractor, RegistryIndex}
+import graft.model.{Term, Triple}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+/** The distributed extraction stage: transcripts table → Dataset[Triple].
+  *
+  * Physical shape (SURVEY.md §4.3): parquet scan with column pruning (only
+  * conv_id, turn_idx, text are read) → markup pre-filter (the reference's
+  * format sniffing, format.rb:45-47, pushed into the scan as a string
+  * predicate) → row-local flatMap extraction (documents never span rows ⇒
+  * NO shuffle in the whole stage) → optional global canonicalization
+  * (dropDuplicates = the graph's set semantics; first and only shuffle).
+  *
+  * The registry is driver-parsed and broadcast (registry.rb:16-28 load-once
+  * becomes a Broadcast[RegistryIndex]); blank nodes are deterministic
+  * skolems so re-extraction after retry/resume is byte-identical.
+  */
+object ExtractPipeline {
+
+  /** Default registry: the shape of the reference's etc/registry.json
+    * (additionalType ⊑ rdf:type under both schema.org prefixes, hcard).
+    */
+  val defaultRegistry: RegistryIndex = RegistryIndex.fromJson(
+    """{
+      |  "http://schema.org/": {"properties": {"additionalType": {"subPropertyOf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"}}},
+      |  "https://schema.org/": {"properties": {"additionalType": {"subPropertyOf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"}}},
+      |  "http://microformats.org/profile/hcard": {}
+      |}""".stripMargin)
+
+  /** Markup pre-filter as a pushable Column predicate. */
+  def markupFilter = col("text").isNotNull &&
+    col("text").contains("item") &&
+    col("text").rlike("item(scope|prop|type|ref|id)")
+
+  /** Extract triples from a transcripts DataFrame.
+    *
+    * @param transcripts  table with (conv_id, turn_idx, text, ...)
+    * @param registry     broadcast-bound vocabulary registry
+    * @param basePrefix   per-turn document base = s"$basePrefix<conv_id>/<turn_idx>"
+    *                     (null ⇒ no base: relative refs stay relative)
+    * @param errorCounter optional accumulator surfacing soft extraction errors
+    */
+  def extract(transcripts: DataFrame,
+              registry: RegistryIndex = defaultRegistry,
+              basePrefix: String = null,
+              errorCounter: LongAccumulator = null): Dataset[Triple] = {
+    val spark = transcripts.sparkSession
+    import spark.implicits._
+    val bcast = spark.sparkContext.broadcast(registry)
+    val pre = transcripts
+      .select(col("conv_id"), col("turn_idx"), col("text"))
+      .filter(markupFilter)
+      .as[(String, Int, String)]
+    pre.mapPartitions { it =>
+      val reg = bcast.value
+      it.flatMap { case (convId, turnIdx, text) =>
+        val docId = convId + "#" + turnIdx
+        val base = if (basePrefix == null) null else s"$basePrefix$convId/$turnIdx"
+        val res = Extractor.extract(text, docId, base, reg)
+        if (errorCounter != null && res.errors.nonEmpty)
+          errorCounter.add(res.errors.size.toLong)
+        res.triples.map { rt =>
+          rt.obj match {
+            case Term.Iri(v) =>
+              Triple(rt.subj, rt.pred, v, null, null, null, convId, turnIdx)
+            case Term.Lit(lex, dt, lang) =>
+              Triple(rt.subj, rt.pred, null, lex, dt, lang, convId, turnIdx)
+          }
+        }
+      }
+    }
+  }
+
+  /** Graph set semantics: collapse duplicate statements globally
+    * (the RDF::Graph insert behavior the reference relies on). One shuffle
+    * on the triple identity; lineage of an arbitrary witness row is kept.
+    */
+  def canonicalize(triples: Dataset[Triple]): Dataset[Triple] =
+    triples.dropDuplicates(Triple.identityCols)
+
+  /** Per-partition lineage + metrics table (north rule observability):
+    * which partition produced how many triples from which conversations.
+    */
+  def lineageMetrics(triples: Dataset[Triple]): DataFrame =
+    triples
+      .withColumn("part_id", spark_partition_id())
+      .groupBy(col("part_id"))
+      .agg(
+        count(lit(1)).as("triples_out"),
+        approx_count_distinct(col("conv_id")).as("approx_convs"),
+        min(col("conv_id")).as("first_conv"),
+        max(col("conv_id")).as("last_conv"))
+
+  /** Materialize the graph as a partitioned table: bucketed by predicate
+    * hash (pred is low-cardinality and hot — hashing spreads it) so
+    * predicate-sliced reads prune partitions.
+    */
+  def writeGraph(triples: Dataset[Triple], outDir: String, predBuckets: Int = 16): Unit =
+    triples
+      .withColumn("pred_bucket", pmod(hash(col("pred")), lit(predBuckets)))
+      .write.mode("overwrite")
+      .partitionBy("pred_bucket")
+      .parquet(outDir)
+
+  /** N-Triples text dump (the reference CLI's sink, script/parse:23-31). */
+  def toNTriples(triples: Dataset[Triple]): DataFrame = {
+    val subj = when(col("subj").startsWith(Extractor.SkolemPrefix),
+        concat(lit("_:"), substring(col("subj"), Extractor.SkolemPrefix.length + 1, 1000)))
+      .otherwise(concat(lit("<"), col("subj"), lit(">")))
+    val objIri = when(col("obj_iri").startsWith(Extractor.SkolemPrefix),
+        concat(lit("_:"), substring(col("obj_iri"), Extractor.SkolemPrefix.length + 1, 1000)))
+      .otherwise(concat(lit("<"), col("obj_iri"), lit(">")))
+    val escaped = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("obj_lexical"), "\\\\", "\\\\\\\\"),
+        "\"", "\\\\\""),
+      "\n", "\\\\n")
+    val lex = concat(lit("\""), escaped, lit("\""))
+    val objLit = when(col("obj_lang").isNotNull, concat(lex, lit("@"), col("obj_lang")))
+      .when(col("obj_datatype").isNotNull, concat(lex, lit("^^<"), col("obj_datatype"), lit(">")))
+      .otherwise(lex)
+    val obj = when(col("obj_iri").isNotNull, objIri).otherwise(objLit)
+    triples.select(concat_ws(" ", subj, concat(lit("<"), col("pred"), lit(">")), obj, lit(".")).as("value"))
+  }
+}
