@@ -1,0 +1,110 @@
+package graft.spark
+
+import graft.model.Triple
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("local[4]", 4).getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def turns(rows: (String, Int, String)*) =
+    rows.toDF("conv_id", "turn_idx", "text")
+
+  test("extracts triples from markup turns only; lineage carried") {
+    val t = turns(
+      ("c1", 0, """<div itemscope itemtype="http://schema.org/Person" itemid="http://x/p1"><span itemprop="name">Ann</span></div>"""),
+      ("c1", 1, "no markup here"),
+      ("c2", 0, """<div itemscope><data itemprop="n" value="5"/></div>"""))
+    val out = ExtractPipeline.extract(t).collect()
+    assert(out.count(_.conv_id == "c1") == 2) // type + name
+    assert(out.count(_.conv_id == "c2") == 1)
+    val lit5 = out.find(_.conv_id == "c2").get
+    assert(lit5.obj_lexical == "5" &&
+      lit5.obj_datatype == "http://www.w3.org/2001/XMLSchema#integer")
+    assert(lit5.turn_idx == 0)
+  }
+
+  test("extraction is invariant under repartitioning (skolem determinism)") {
+    val t = Transcripts.synthetic(spark, 200, 10)
+    val a = ExtractPipeline.extract(t).collect().toSet
+    val b = ExtractPipeline.extract(t.repartition(13)).collect().toSet
+    assert(a.map(x => (x.subj, x.pred, x.obj_iri, x.obj_lexical)) ==
+      b.map(x => (x.subj, x.pred, x.obj_iri, x.obj_lexical)))
+  }
+
+  test("canonicalize collapses duplicate statements across turns") {
+    val t = turns(
+      ("c1", 0, """<div itemscope itemtype="http://schema.org/Country" itemid="http://x/de"><span itemprop="name">DE</span></div>"""),
+      ("c2", 5, """<div itemscope itemtype="http://schema.org/Country" itemid="http://x/de"><span itemprop="name">DE</span></div>"""))
+    val raw = ExtractPipeline.extract(t)
+    assert(raw.count() == 4)
+    assert(ExtractPipeline.canonicalize(raw).count() == 2)
+  }
+
+  test("error accumulator counts soft failures (itemref recursion)") {
+    val acc = spark.sparkContext.longAccumulator("errs")
+    val t = turns(("c1", 0,
+      """<div itemscope><div id="r"><div itemprop="f" itemscope><div itemprop="g" itemref="r" itemscope></div></div></div></div>"""))
+    val n = ExtractPipeline.extract(t, errorCounter = acc).count()
+    assert(n == 0)
+    assert(acc.value > 0)
+  }
+
+  test("owlEntail reaches the fixpoint of spo1/eqp1/eqp2 (reference expansion_spec cases)") {
+    val base = Seq(
+      Triple("http://x/me", "http://x/name", null, "Gregg", null, null, "c", 0),
+      Triple("http://x/name", Entailment.SubPropertyOf, "http://foaf/name", null, null, null, "c", 0),
+      Triple("http://foaf/name", Entailment.EquivalentProperty, "http://x/label", null, null, null, "c", 0)
+    ).toDS()
+    val out = Entailment.owlEntail(base).collect()
+    val preds = out.filter(_.subj == "http://x/me").map(_.pred).toSet
+    // name ⊑ foaf:name (spo1); foaf:name ≡ label (eqp1 forward)
+    assert(preds == Set("http://x/name", "http://foaf/name", "http://x/label"))
+    // eqp2: x label y would also re-derive foaf:name — idempotent, no dup rows
+    assert(out.groupBy(t => (t.subj, t.pred, t.obj_lexical)).forall(_._2.size == 1))
+  }
+
+  test("owlEntail is a no-op without schema edges") {
+    val base = Seq(Triple("http://x/a", "http://x/p", "http://x/b", null, null, null, "c", 0)).toDS()
+    assert(Entailment.owlEntail(base).count() == 1)
+  }
+
+  test("markup prefilter pushes into the scan plan") {
+    val t = Transcripts.synthetic(spark, 10, 2)
+    val plan = ExtractPipeline.extract(t).queryExecution.executedPlan.toString
+    // the rlike filter must appear before (above) the extraction mapPartitions
+    assert(plan.contains("RLIKE") || plan.contains("rlike"))
+  }
+
+  test("N-Triples sink serializes IRIs, skolems, typed and tagged literals") {
+    val t = turns(("c1", 0,
+      """<div itemscope itemtype="http://schema.org/Person" lang="en"><span itemprop="name">Ann</span><data itemprop="n" value="5"/></div>"""))
+    val nt = ExtractPipeline.toNTriples(ExtractPipeline.extract(t))
+      .as[String].collect().toSet
+    assert(nt.exists(l => l.startsWith("_:") &&
+      l.contains("<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://schema.org/Person> .")))
+    assert(nt.exists(_.contains("\"Ann\"@en")))
+    assert(nt.exists(_.contains("\"5\"^^<http://www.w3.org/2001/XMLSchema#integer>")))
+  }
+
+  test("turn ordering invariant: window by conv_id/turn_idx is stable") {
+    val t = Transcripts.synthetic(spark, 100, 5)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"conv_id").orderBy($"turn_idx")
+    val r1 = t.withColumn("rn", row_number().over(w))
+      .select($"conv_id", $"rn", md5($"text")).collect().toSet
+    val r2 = t.repartition(7).withColumn("rn", row_number().over(w))
+      .select($"conv_id", $"rn", md5($"text")).collect().toSet
+    assert(r1 == r2)
+  }
+}
