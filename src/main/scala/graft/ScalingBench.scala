@@ -15,12 +15,18 @@ object ScalingBench {
   def run(cpus: Int, nTurns: Long): (Long, Double) = {
     val spark = GraftSession.local(cpus)
     try {
-      // warm up JIT + parquet-free path once
-      ExtractPipeline.extract(Transcripts.synthetic(spark, 10000, 500)).count()
-      val t0 = System.nanoTime()
-      val n = ExtractPipeline.extract(
-        Transcripts.synthetic(spark, nTurns, math.max(nTurns / 20, 1))).count()
-      (n, (System.nanoTime() - t0) / 1e9)
+      // equal JIT warmup per parallelism level: two untimed runs at 1/4 scale
+      (1 to 2).foreach { _ =>
+        ExtractPipeline.extract(Transcripts.synthetic(spark, nTurns / 4, nTurns / 80)).count()
+      }
+      // best of two measured runs (steady state)
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = ExtractPipeline.extract(
+          Transcripts.synthetic(spark, nTurns, math.max(nTurns / 20, 1))).count()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      runs.minBy(_._2)
     } finally spark.stop()
   }
 

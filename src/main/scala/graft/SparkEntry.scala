@@ -83,6 +83,10 @@ object SparkEntry {
         .orderBy(col("subj"), col("pred"), col("obj_lexical"))
     }),
 
+    "kg_entity_stats" -> ((s, dir) =>
+      graft.spark.EntityStats.bySubject(customerTriples(s, dir))
+        .orderBy(col("subj"))),
+
     "kg_turn_order" -> ((s, dir) => {
       val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
       Transcripts.customers(s, dir)
@@ -165,7 +169,7 @@ object SparkEntry {
     // probabilistic / hash-specific ops: rows-only check (no portable SQL)
     "doc_minhash_pairs" -> ((s, dir) =>
       TextOps.minhashLshPairs(table(s, dir, "documents"), k = 2,
-          numHashes = 32, bands = 16, threshold = 0.1)
+          numHashes = 32, bands = 32, threshold = 0.1)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "doc_simhash" -> ((s, dir) =>
@@ -243,6 +247,12 @@ object SparkEntry {
           |  SELECT subj, 'http://ex.org/label' AS pred, obj_lexical FROM names
           |  UNION ALL SELECT subj, 'http://ex.org/title', obj_lexical FROM names
           |) t ORDER BY subj, pred, obj_lexical""".stripMargin,
+
+      "kg_entity_stats" ->
+        """SELECT subj, n_triples, n_preds FROM (
+          |  SELECT 'http://ex.org/customer/' || c_custkey AS subj, CAST(7 AS BIGINT) AS n_triples, CAST(6 AS BIGINT) AS n_preds FROM customer WHERE c_custkey % 7 <> 0
+          |  UNION ALL SELECT DISTINCT 'http://ex.org/nation/' || c_nationkey, 2, 2 FROM customer WHERE c_custkey % 7 <> 0
+          |) t ORDER BY subj""".stripMargin,
 
       "kg_turn_order" ->
         s"""WITH t AS (

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for a training-data pipeline: image/audio/video
+  * payloads ride as opaque `binary` columns with typed metadata structs.
+  *
+  * The Spark-side mechanics — schema, batched per-partition processing
+  * (the JVM analogue of a `mapInPandas` batch loop), partition sizing,
+  * deterministic outputs — are real and tested. The actual codec step is
+  * STUBBED (`fakeDecode`): the sandbox ships no image/audio libraries, so
+  * decode parses a deterministic 16-byte synthetic header instead of
+  * invoking a codec. Swap `fakeDecode` for a real decoder at deployment;
+  * nothing else changes.
+  */
+object MultimodalOps {
+
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  final case class MediaMeta(media_id: Long, kind: String, width: Int, height: Int,
+                             duration_ms: Int, byte_len: Int)
+  final case class MediaFeature(media_id: Long, feature: Array[Float])
+  final case class MediaFrame(media_id: Long, frame_idx: Int, frame_hash: Long)
+
+  /** Deterministic synthetic media table: payload = 16-byte header
+    * (width, height, duration, kind tag) + pseudo-random body derived from
+    * the id. Stands in for a real binary-source scan.
+    */
+  def syntheticMedia(spark: SparkSession, n: Long): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, n).map { id =>
+      val kind = Seq("image", "audio", "video")((id % 3).toInt)
+      val w = (64 + id % 512).toInt
+      val h = (64 + id % 256).toInt
+      val dur = (1000 + id % 60000).toInt
+      val header = java.nio.ByteBuffer.allocate(16)
+        .putInt(w).putInt(h).putInt(dur).putInt((id % 3).toInt).array()
+      val body = Array.tabulate[Byte]((id % 96 + 32).toInt)(i => ((id * 31 + i) % 251).toByte)
+      MediaRow(id, kind, header ++ body)
+    }
+  }
+
+  /** STUB decode: parse the synthetic header. Real deployment: replace the
+    * body of this function with the codec call (e.g. TwelveMonkeys/JavaCV);
+    * signature and batching stay identical.
+    */
+  private def fakeDecode(r: MediaRow): MediaMeta = {
+    val bb = java.nio.ByteBuffer.wrap(r.payload)
+    MediaMeta(r.media_id, r.kind, bb.getInt(0), bb.getInt(4), bb.getInt(8), r.payload.length)
+  }
+
+  /** Batched metadata extraction: one decoder context per partition, rows
+    * processed in a batch loop (the mapInPandas shape, JVM edition).
+    */
+  def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder init would go here (one codec ctx per task)
+      it.grouped(256).flatMap(batch => batch.iterator.map(fakeDecode))
+    }
+  }
+
+  /** Feature extraction stub: deterministic 16-dim float signature from the
+    * payload bytes (stands in for an embedding model forward pass; batch
+    * shape is what matters at scale).
+    */
+  def featurize(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(256).flatMap(_.iterator.map { r =>
+        val f = Array.tabulate(dim) { d =>
+          var acc = 0x9e3779b9L ^ d
+          r.payload.foreach(b => acc = acc * 31 + (b & 0xff) + d)
+          ((acc % 1000).toFloat) / 1000.0f
+        }
+        MediaFeature(r.media_id, f)
+      })
+    }
+  }
+
+  /** Frame sampling stub for video rows: every `everyMs` of the (fake)
+    * duration yields one frame row — explode-shaped output, so downstream
+    * per-frame ops parallelize row-wise.
+    */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Int = 1000): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    decodeMeta(media).filter(col("kind") === "video").as[MediaMeta].flatMap { m =>
+      (0 until math.max(m.duration_ms / everyMs, 1)).map { i =>
+        MediaFrame(m.media_id, i, m.media_id * 1000003L + i)
+      }
+    }
+  }
+
+  /** Partition-size guidance for binary columns: media rows are large —
+    * repartition so a task holds ~targetMb of payload, keeping executor
+    * memory flat regardless of corpus size.
+    */
+  def sizedForPayload(media: Dataset[MediaRow], totalRows: Long, rowBytesEstimate: Long,
+                      targetMb: Int = 128): Dataset[MediaRow] = {
+    val targetBytes = targetMb.toLong * 1024 * 1024
+    val parts = math.max(
+      (totalRows * math.max(rowBytesEstimate, 1) + targetBytes - 1) / targetBytes,
+      media.sparkSession.sparkContext.defaultParallelism.toLong)
+    media.repartition(parts.toInt)
+  }
+}
