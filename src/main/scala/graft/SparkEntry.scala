@@ -163,13 +163,13 @@ object SparkEntry {
         .orderBy(col("text_md5"))),
 
     "doc_jaccard_pairs" -> ((s, dir) =>
-      TextOps.jaccardPairs(table(s, dir, "documents"), k = 2, threshold = 0.1)
+      TextOps.jaccardPairs(table(s, dir, "documents"), k = 3, threshold = 0.3)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // probabilistic / hash-specific ops: rows-only check (no portable SQL)
     "doc_minhash_pairs" -> ((s, dir) =>
-      TextOps.minhashLshPairs(table(s, dir, "documents"), k = 2,
-          numHashes = 32, bands = 32, threshold = 0.1)
+      TextOps.minhashLshPairs(table(s, dir, "documents"), k = 3,
+          numHashes = 32, bands = 16, threshold = 0.3)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "doc_simhash" -> ((s, dir) =>
@@ -324,13 +324,13 @@ object SparkEntry {
 
       "doc_jaccard_pairs" ->
         """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-          |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS shingle FROM toks),
+          |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle FROM toks),
           |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
           |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
           |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
           |j AS (SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
           |      FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b)
-          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY doc_a, doc_b""".stripMargin,
+          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
 
       "sim_cosine_pairs" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

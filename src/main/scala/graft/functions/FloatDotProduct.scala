@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst dot product over two `ARRAY<FLOAT>` columns, in double
+  * precision, sequential index-order accumulation.
+  *
+  * The composable alternative (`aggregate(zip_with(a, b, _*_), 0d, _+_)`)
+  * materializes an intermediate array per row-pair; for all-pairs similarity
+  * that allocation dominates. This expression generates a tight primitive
+  * loop inside whole-stage codegen — same result bit-for-bit (same
+  * accumulation order), no intermediates.
+  */
+case class FloatDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"float_dot expects ARRAY<FLOAT> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |int graft_n = Math.min($a.numElements(), $b.numElements());
+         |double graft_acc = 0.0;
+         |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
+         |  graft_acc += (double)$a.getFloat(graft_i) * (double)$b.getFloat(graft_i);
+         |}
+         |${ev.value} = graft_acc;
+         |""".stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): FloatDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object FloatDotProduct {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      FloatDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -77,11 +77,16 @@ object TextOps {
     docs.groupBy(md5(col("text")).as("text_md5"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
 
-  /** Distinct word k-shingles per document. */
+  /** Distinct word k-shingles per document. Documents shorter than k tokens
+    * yield no shingles (Spark's sequence(a, b) DESCENDS when b < a, so the
+    * short case must be guarded explicitly).
+    */
   def shingles(docs: DataFrame, k: Int): DataFrame = {
     val t = tokens(col("text"))
-    val sh = transform(sequence(lit(0), size(t) - k),
-      i => concat_ws(" ", slice(t, i + 1, lit(k))))
+    val sh = when(size(t) >= k,
+        transform(sequence(lit(0), size(t) - k),
+          i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
     docs.select(col("doc_id"), explode(array_distinct(sh)).as("shingle"))
   }
 
@@ -134,12 +139,13 @@ object TextOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact verification of candidates only
-    val sh2 = sh
+    // exact verification of candidates only: composite-key joins so the
+    // second join hashes on (doc_b, shingle) — never |cand|×|sh_a|×|sh_b|
+    val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
     val inter = cand
-      .join(sh2.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingle", "sh_a"), "doc_a")
-      .join(sh2.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingle", "sh_b"), "doc_b")
-      .filter(col("sh_a") === col("sh_b"))
+      .join(shA, "doc_a")
+      .join(shB, Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     inter

@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Σ aᵢbᵢ over two float arrays, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢbᵢ over two float arrays, in double: a native codegen'd Catalyst
+    * expression (graft.functions.FloatDotProduct) — identical accumulation
+    * order to the composable `aggregate(zip_with(...))` form but without the
+    * per-pair intermediate array.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.FloatDotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
