@@ -18,6 +18,9 @@ object Bench {
     */
   def extractionThroughput(spark: SparkSession, nTurns: Long): (Long, Double) = {
     val transcripts = Transcripts.synthetic(spark, nTurns, math.max(nTurns / 20, 1))
+    // one untimed warmup so the measured run reflects steady-state JIT
+    ExtractPipeline.extract(
+      Transcripts.synthetic(spark, nTurns / 5, math.max(nTurns / 100, 1))).count()
     val (n, secs) = timeIt {
       ExtractPipeline.extract(transcripts).count()
     }

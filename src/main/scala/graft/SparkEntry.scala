@@ -83,6 +83,14 @@ object SparkEntry {
         .orderBy(col("subj"), col("pred"), col("obj_lexical"))
     }),
 
+    "kg_link_components" -> ((s, dir) => {
+      val triples = ExtractPipeline.extract(graft.spark.Transcripts.mentions(s, dir))
+      graft.spark.EntityLink.mentionMapping(triples, Seq("http://schema.org/contact"))
+        .groupBy(col("canonical")).agg(count(lit(1)).as("component_size"))
+        .groupBy(col("component_size")).agg(count(lit(1)).as("n_components"))
+        .orderBy(col("component_size"))
+    }),
+
     "kg_entity_stats" -> ((s, dir) =>
       graft.spark.EntityStats.bySubject(customerTriples(s, dir))
         .orderBy(col("subj"))),
@@ -247,6 +255,10 @@ object SparkEntry {
           |  SELECT subj, 'http://ex.org/label' AS pred, obj_lexical FROM names
           |  UNION ALL SELECT subj, 'http://ex.org/title', obj_lexical FROM names
           |) t ORDER BY subj, pred, obj_lexical""".stripMargin,
+
+      "kg_link_components" ->
+        """SELECT CAST(4 AS BIGINT) AS component_size, count(*) AS n_components
+          |FROM customer ORDER BY component_size""".stripMargin,
 
       "kg_entity_stats" ->
         """SELECT subj, n_triples, n_preds FROM (

@@ -86,6 +86,27 @@ object Transcripts {
       to_timestamp(lit("2026-02-01 00:00:00")).as("ts"))
   }
 
+  /** Four turns per customer, each carrying one ANONYMOUS Person mention
+    * (no itemid → skolem subject) with two identifying `contact` keys that
+    * chain across the turns: mention j holds keys (j, j+1). The four
+    * mentions of one customer are therefore only *transitively* linkable —
+    * the multi-hop case the connected-components canonicalizer exists for.
+    */
+  def mentions(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = readTable(spark, sfDir, "customer")
+      .select(col("c_custkey"), explode(array(lit(1), lit(2), lit(3), lit(4))).as("j"))
+    val markup = format_string(
+      "Contact card: <div itemscope itemtype=\"http://schema.org/Person\"><span itemprop=\"contact\">key-%d-%d</span><span itemprop=\"contact\">key-%d-%d</span></div>",
+      col("c_custkey"), col("j"), col("c_custkey"), col("j") + 1)
+    c.select(
+      concat(lit("mconv-"), col("c_custkey").cast("string")).as("conv_id"),
+      col("j").cast("int").as("turn_idx"),
+      lit("assistant").as("role"),
+      markup.as("text"),
+      lit(null).cast("string").as("tool"),
+      to_timestamp(lit("2026-03-01 00:00:00")).as("ts"))
+  }
+
   /** Purely synthetic transcripts at arbitrary scale for the benchmark:
     * `spark.range`-driven (fully distributed, deterministic, seedless),
     * with conv_id skew (~10% of turns land in 1% of conversations — the

@@ -73,6 +73,34 @@ class ComponentsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM conv_counts").columns.contains("n_turns"))
   }
 
+  test("ConnectedComponents: chain graph converges to one component") {
+    val edges = (1 to 9).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+    val cc = ConnectedComponents.run(edges).collect()
+    assert(cc.map(_.getString(1)).distinct.toSeq == Seq("n1"))
+    assert(cc.length == 10)
+    // two disjoint chains → two components
+    val edges2 = edges.union(Seq(("a1", "a2"), ("a2", "a3")).toDF("src", "dst"))
+    val cc2 = ConnectedComponents.run(edges2)
+    assert(cc2.select("component").distinct().count() == 2)
+  }
+
+  test("EntityLink: transitive mentions merge; triples rewrite to canonical subject") {
+    val turns = Seq(
+      ("c1", 0, """<div itemscope itemtype="http://schema.org/Person"><span itemprop="contact">k1</span><span itemprop="contact">k2</span><span itemprop="name">Ann A</span></div>"""),
+      ("c1", 1, """<div itemscope itemtype="http://schema.org/Person"><span itemprop="contact">k2</span><span itemprop="contact">k3</span></div>"""),
+      ("c2", 0, """<div itemscope itemtype="http://schema.org/Person"><span itemprop="contact">k3</span><span itemprop="name">Ann B</span></div>"""),
+      ("c3", 0, """<div itemscope itemtype="http://schema.org/Person"><span itemprop="contact">zz</span><span itemprop="name">Other</span></div>"""))
+      .toDF("conv_id", "turn_idx", "text")
+    val triples = ExtractPipeline.extract(turns)
+    val linked = EntityLink.canonicalize(triples, Seq("http://schema.org/contact"))
+    // three mentions merged into one entity holding both names; "Other" separate
+    val names = linked.filter($"pred" === "http://schema.org/name")
+      .select($"subj", $"obj_lexical").collect()
+    val bySubj = names.groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(bySubj.size == 2)
+    assert(bySubj.values.toSet == Set(Set("Ann A", "Ann B"), Set("Other")))
+  }
+
   test("Multimodal: decode/featurize/frame-sample are deterministic with typed schemas") {
     val media = MultimodalOps.syntheticMedia(spark, 50)
     val meta = MultimodalOps.decodeMeta(media).collect().sortBy(_.media_id)
