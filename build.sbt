@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Faithful N-core proxy for scaling runs: cap what the JVM believes the
+  // machine has (GC threads, common pools) — otherwise a local[8] run
+  // borrows the idle cores for GC and inflates its throughput.
+  sys.env.get("GRAFT_ACTIVE_CPUS").map(n => s"-XX:ActiveProcessorCount=$n").toSeq

@@ -36,10 +36,23 @@ object Extractor {
 
   private final class CrawlFailure(msg: String) extends RuntimeException(msg)
 
+  private val digests = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("SHA-256")
+  }
+  private val HexChars = "0123456789abcdef".toCharArray
+
   def skolem(docId: String, path: String): String = {
-    val md = MessageDigest.getInstance("SHA-256")
+    val md = digests.get()
+    md.reset()
     val d = md.digest((docId + "|" + path).getBytes("UTF-8"))
-    SkolemPrefix + d.take(16).map(b => f"${b & 0xff}%02x").mkString
+    val sb = new java.lang.StringBuilder(SkolemPrefix.length + 32)
+    sb.append(SkolemPrefix)
+    var i = 0
+    while (i < 16) {
+      sb.append(HexChars((d(i) >> 4) & 0xf)).append(HexChars(d(i) & 0xf))
+      i += 1
+    }
+    sb.toString
   }
 
   def isSkolem(iri: String): Boolean = iri.startsWith(SkolemPrefix)
@@ -74,6 +87,8 @@ object Extractor {
     private val errors = Vector.newBuilder[String]
     // Element → subject, object-identity keyed (reader.rb:25-26, 232-242)
     private val memory = new java.util.IdentityHashMap[Elem, String]()
+    private val hasReverse =
+      doc.root.descendantsAndSelf.exists(_.has("itemprop-reverse"))
 
     // parse_whole_document base computation (reader.rb:201-210 + nokogiri.rb:224-229)
     private val base: String = {
@@ -130,7 +145,9 @@ object Extractor {
       }
 
       // 10) reverse properties (proposed-spec @itemprop-reverse, reader.rb:296-323)
-      itemProperties(item, reverse = true).foreach { element =>
+      // cheap doc-level skip: most markup has no @itemprop-reverse at all,
+      // and the reverse crawl would otherwise re-walk every item subtree
+      if (hasReverse) itemProperties(item, reverse = true).foreach { element =>
         element.attr("itemprop-reverse").getOrElse("").split(' ').filter(_.nonEmpty).foreach { name =>
           val predicate = vocab.predicateURI(name, base)
           propertyValue(element) match {

@@ -23,17 +23,51 @@ object MicroDoc {
   final case class Text(value: String) extends Node
 
   final class Elem(val tag: String) extends Node {
-    val attrs = mutable.LinkedHashMap.empty[String, String]
+    // compact attribute storage: elements rarely carry more than 4 attrs,
+    // so parallel arrays with linear lookup beat a per-element hash map
+    // (this parse runs once per transcript row — allocation is the wall)
+    private var attrKeys: Array[String] = null
+    private var attrVals: Array[String] = null
+    private var nAttrs = 0
     val children = mutable.ArrayBuffer.empty[Node]
     var parent: Elem = _
+    /** index within parent.children (path component). */
+    var childIdx: Int = 0
+    private var pathMemo: String = null
+
     /** Stable structural path from root, e.g. "0.2.1" — the deterministic
       * replacement for Ruby object identity (reader.rb:236 fresh bnodes,
       * memory keyed by element): content-addressed skolem IDs hash this.
+      * Computed lazily — only itemscope elements without itemid need it.
       */
-    var path: String = ""
+    def path: String = {
+      if (pathMemo == null)
+        pathMemo =
+          if (parent == null) String.valueOf(childIdx)
+          else parent.path + "." + childIdx
+      pathMemo
+    }
 
-    def attr(name: String): Option[String] = attrs.get(name)
-    def has(name: String): Boolean = attrs.contains(name)
+    def addAttr(name: String, value: String): Unit = {
+      if (attrKeys == null) {
+        attrKeys = new Array[String](4); attrVals = new Array[String](4)
+      } else if (nAttrs == attrKeys.length) {
+        attrKeys = java.util.Arrays.copyOf(attrKeys, nAttrs * 2)
+        attrVals = java.util.Arrays.copyOf(attrVals, nAttrs * 2)
+      }
+      attrKeys(nAttrs) = name; attrVals(nAttrs) = value; nAttrs += 1
+    }
+
+    def attrRaw(name: String): String = {
+      var i = 0
+      while (i < nAttrs) {
+        if (attrKeys(i) == name) return attrVals(i)
+        i += 1
+      }
+      null
+    }
+    def attr(name: String): Option[String] = Option(attrRaw(name))
+    def has(name: String): Boolean = attrRaw(name) != null
 
     def elements: Seq[Elem] = children.collect { case e: Elem => e }.toSeq
 
@@ -41,11 +75,10 @@ object MicroDoc {
     def language: String = {
       var e: Elem = this
       while (e != null) {
-        e.attrs.get("xml:lang").orElse(e.attrs.get("lang")) match {
-          case Some(l) if l.nonEmpty => return l
-          case Some(_) => return null // explicit lang="" resets
-          case None => e = e.parent
-        }
+        var l = e.attrRaw("xml:lang")
+        if (l == null) l = e.attrRaw("lang")
+        if (l != null) return (if (l.nonEmpty) l else null) // lang="" resets
+        e = e.parent
       }
       null
     }
@@ -54,10 +87,9 @@ object MicroDoc {
     def base: String = {
       var e: Elem = this
       while (e != null) {
-        e.attrs.get("xml:base") match {
-          case Some(b) => return b
-          case None => e = e.parent
-        }
+        val b = e.attrRaw("xml:base")
+        if (b != null) return b
+        e = e.parent
       }
       null
     }
@@ -135,7 +167,7 @@ object MicroDoc {
     def openElem(e: Elem): Unit = {
       val p = stack.last
       e.parent = if (p eq root) null else p
-      e.path = (if (p eq root) "" else p.path + ".") + p.children.length
+      e.childIdx = p.children.length
       p.children += e
     }
 
@@ -208,8 +240,8 @@ object MicroDoc {
                     avalue = s.substring(v0, j)
                   }
                 }
-                if (aname.nonEmpty && !e.attrs.contains(aname))
-                  e.attrs(aname) = decodeEntities(avalue)
+                if (aname.nonEmpty && !e.has(aname))
+                  e.addAttr(aname, decodeEntities(avalue))
             }
           }
           // implied end tags
