@@ -63,6 +63,31 @@ object TestGraph {
     search(ab.toList, bb.toSet, Map.empty)
   }
 
+  /** Maximum number of expected triples matched under the best bnode
+    * bijection (for suite-wide P/R aggregation; == |expected| when
+    * isomorphic).
+    */
+  def matchedCount(actual0: Seq[RawTriple], expected0: Seq[RawTriple]): Int = {
+    val a = actual0.toSet
+    val b = expected0.toSet
+    val ab = bnodes(a)
+    val bb = bnodes(b)
+    var best = 0
+    def search(rem: List[String], avail: List[String], m: Map[String, String]): Unit =
+      rem match {
+        case Nil =>
+          val overlap = mapped(a, m).intersect(b).size
+          if (overlap > best) best = overlap
+        case x :: rest =>
+          // allow leaving a bnode unmapped (unmatched) too
+          search(rest, avail, m)
+          avail.foreach(y => search(rest, avail.filterNot(_ == y), m + (x -> y)))
+      }
+    if (ab.size <= 6 && bb.size <= 6) search(ab.toList, bb.toList, Map.empty)
+    else best = mapped(a, Map.empty).intersect(b).size
+    best
+  }
+
   def assertIsomorphic(actual: Seq[RawTriple], expectedNt: String, clue: String = ""): Unit = {
     val expected = NTriples.parse(expectedNt)
     if (!isomorphic(actual, expected)) {
