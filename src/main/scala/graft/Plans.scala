@@ -1,0 +1,34 @@
+package graft
+
+import graft.spark.GraftSession
+
+/** Plan-evidence dump: `.explain("formatted")` for the load-bearing queries,
+  * captured into PLANS.md so pushdown/pruning/broadcast shape is reviewable
+  * without rerunning (SURVEY.md §4.2: what Catalyst gives us must actually
+  * show up in the plan).
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = GraftSession.local(4)
+    val names = Seq("kg_types", "kg_entail", "kg_link_components",
+      "q1_pricing", "q3_top_orders", "doc_jaccard_pairs", "sim_cosine_pairs",
+      "doc_token_stats")
+    val sb = new StringBuilder
+    sb ++= "# PLANS — physical plan evidence (explain formatted)\n\n"
+    sb ++= "Regenerate with `sbt \"runMain graft.Plans\"`. Things to check per plan:\n"
+    sb ++= "pushed filters reach the parquet scan, ReadSchema is pruned to used\n"
+    sb ++= "columns, small join sides broadcast, codegen stages (`*`) span the\n"
+    sb ++= "expression work, and the extraction stage contains no Exchange.\n\n"
+    names.foreach { n =>
+      sb ++= s"## $n\n\n```\n"
+      val df = SparkEntry.queries(n)(spark, dir)
+      sb ++= df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      sb ++= "\n```\n\n"
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.result())
+    println(s"wrote PLANS.md (${names.size} plans)")
+    spark.stop()
+  }
+}
