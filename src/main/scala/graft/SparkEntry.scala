@@ -155,8 +155,23 @@ object SparkEntry {
       TextOps.tokenStats(table(s, dir, "documents"))
         .select(col("doc_id"), col("chars").cast("long").as("chars"),
           col("tokens").cast("long").as("tokens"),
-          col("distinct_tokens").cast("long").as("distinct_tokens"))
+          col("distinct_tokens").cast("long").as("distinct_tokens"),
+          col("bpe_ish_tokens").cast("long").as("bpe_ish_tokens"))
         .orderBy(col("doc_id"))),
+
+    "events_sessions" -> ((s, dir) => {
+      // sessionization: a user's events split on >30-minute inactivity gaps
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      table(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("timestamp").cast("double") -
+              col("prev_ts").cast("timestamp").cast("double") > 1800.0, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
 
     "doc_quality" -> ((s, dir) =>
       TextOps.qualityScore(table(s, dir, "documents")).orderBy(col("doc_id"))),
@@ -173,6 +188,9 @@ object SparkEntry {
     "doc_jaccard_pairs" -> ((s, dir) =>
       TextOps.jaccardPairs(table(s, dir, "documents"), k = 3, threshold = 0.3)
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    "kg_ntriples" -> ((s, dir) =>
+      ExtractPipeline.toNTriples(customerTriples(s, dir)).orderBy(col("value"))),
 
     // probabilistic / hash-specific ops: rows-only check (no portable SQL)
     "doc_minhash_pairs" -> ((s, dir) =>
@@ -305,8 +323,19 @@ object SparkEntry {
 
       "doc_token_stats" ->
         """SELECT doc_id, length(text) AS chars, len(string_split(text, ' ')) AS tokens,
-          |  len(list_distinct(string_split(text, ' '))) AS distinct_tokens
+          |  len(list_distinct(string_split(text, ' '))) AS distinct_tokens,
+          |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_ish_tokens
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "events_sessions" ->
+        """WITH g AS (
+          |  SELECT user_id, ts,
+          |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          |           OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800.0
+          |         THEN 1 ELSE 0 END AS new_session
+          |  FROM events)
+          |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+          |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
       "doc_quality" ->
         """SELECT doc_id,

@@ -12,13 +12,22 @@ object TextOps {
 
   private def tokens(c: Column): Column = split(c, " ")
 
-  /** Per-document token/char statistics (token counting operator). */
+  /** BPE-ish pre-tokenizer regex (GPT-2-style approximation): letter runs,
+    * digit runs, and single non-space symbols each count as one token.
+    * RE2-compatible so the DuckDB oracle evaluates it identically.
+    */
+  val BpeIshPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** Per-document token/char statistics (token counting operator):
+    * whitespace tokens plus a BPE-ish regex token count.
+    */
   def tokenStats(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       length(col("text")).as("chars"),
       size(tokens(col("text"))).as("tokens"),
-      size(array_distinct(tokens(col("text")))).as("distinct_tokens"))
+      size(array_distinct(tokens(col("text")))).as("distinct_tokens"),
+      regexp_count(col("text"), lit(BpeIshPattern)).as("bpe_ish_tokens"))
 
   /** Quality scoring: length, mean token length, stopword ratio,
     * punctuation ratio, repetition (distinct/total tokens). Heuristics are
