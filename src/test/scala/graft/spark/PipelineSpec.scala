@@ -97,6 +97,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(nt.exists(_.contains("\"5\"^^<http://www.w3.org/2001/XMLSchema#integer>")))
   }
 
+  test("driver contract: entry() yields rows on sf0.001; all queries declared") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+    // every oracle entry has a matching query
+    val qs = graft.SparkEntry.queries.keySet
+    assert(graft.SparkEntry.oracleSql.keySet.subsetOf(qs))
+  }
+
   test("turn ordering invariant: window by conv_id/turn_idx is stable") {
     val t = Transcripts.synthetic(spark, 100, 5)
     import org.apache.spark.sql.expressions.Window
