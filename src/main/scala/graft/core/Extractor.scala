@@ -87,8 +87,7 @@ object Extractor {
     private val errors = Vector.newBuilder[String]
     // Element → subject, object-identity keyed (reader.rb:25-26, 232-242)
     private val memory = new java.util.IdentityHashMap[Elem, String]()
-    private val hasReverse =
-      doc.root.descendantsAndSelf.exists(_.has("itemprop-reverse"))
+    private val hasReverse = doc.hasReverseAttr
 
     // parse_whole_document base computation (reader.rb:201-210 + nokogiri.rb:224-229)
     private val base: String = {
@@ -189,13 +188,25 @@ object Extractor {
       */
     private def elementsInItem(root: Elem): Seq[Elem] = {
       val pending = mutable.Queue.empty[Elem]
-      pending ++= root.elements
-      root.attr("itemref").getOrElse("").split(' ').filter(_.nonEmpty)
+      def enqueueChildren(e: Elem): Unit = {
+        val ch = e.children
+        var i = 0
+        while (i < ch.length) {
+          ch(i) match {
+            case el: Elem => pending += el
+            case _ =>
+          }
+          i += 1
+        }
+      }
+      enqueueChildren(root)
+      val itemref = root.attrRaw("itemref")
+      if (itemref != null) itemref.split(' ').filter(_.nonEmpty)
         .foreach(id => doc.byId.get(id).foreach(pending += _))
       val results = mutable.ArrayBuffer.empty[Elem]
       while (pending.nonEmpty) {
         val current = pending.dequeue()
-        if (!current.has("itemscope")) pending ++= current.elements
+        if (!current.has("itemscope")) enqueueChildren(current)
         results += current
       }
       results.toSeq

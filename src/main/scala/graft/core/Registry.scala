@@ -43,11 +43,13 @@ final case class Vocab(uri: String, props: Map[String, Vector[String]])
 object Vocab {
   /** `Registry.new(nil)` — top-level evaluation context (reader.rb:216). */
   val none: Vocab = Vocab(null, Map.empty)
+  private val DerivedRe = java.util.regex.Pattern.compile("([/#])[^/#]*$")
+
   /** Derived vocabulary: type URI stripped after last `/` or `#`
     * (reader.rb:256).
     */
   def derived(typeUri: String): Vocab =
-    Vocab(typeUri.replaceAll("([/#])[^/#]*$", "$1"), Map.empty)
+    Vocab(DerivedRe.matcher(typeUri).replaceFirst("$1"), Map.empty)
 }
 
 /** Immutable, broadcast-friendly registry index. Prefix lookup is

@@ -38,10 +38,25 @@ object Rfc3986 {
     case _ => Parts(null, null, s, null, null)
   }
 
-  /** True when the string carries a scheme (RDF.rb `URI#absolute?`). */
+  /** True when the string carries a scheme (RDF.rb `URI#absolute?`).
+    * Regex-free scan — this runs per itemprop/itemtype token in the hot
+    * extraction path.
+    */
   def isAbsolute(s: String): Boolean = {
-    val p = parse(s)
-    p.scheme != null && p.scheme.nonEmpty
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == ':') return i > 0
+      // scheme chars: ALPHA *( ALPHA / DIGIT / "+" / "-" / "." ); first must be ALPHA
+      val ok =
+        if (i == 0) (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+        else (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+             (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.'
+      if (!ok) return false
+      i += 1
+    }
+    false
   }
 
   /** RFC 3986 §5.2.4 remove_dot_segments. */
@@ -84,6 +99,9 @@ object Rfc3986 {
     * relative path).
     */
   def resolve(baseStr: String, refStr: String): String = {
+    // fast path: an absolute ref without dot segments resolves to itself
+    // (the overwhelmingly common case for itemid/href in real markup)
+    if (isAbsolute(refStr) && refStr.indexOf("/.") < 0) return refStr
     val base = parse(baseStr)
     val ref = parse(refStr)
     val t =

@@ -110,9 +110,12 @@ object MicroDoc {
   }
 
   /** Parsed document. `root` is a synthetic container so bare fragments
-    * (most spec fixtures) parse uniformly.
+    * (most spec fixtures) parse uniformly. `itemscopeElems` (document order)
+    * and `hasReverseAttr` are collected during the parse so extraction never
+    * re-traverses the tree to find items.
     */
-  final class Doc(val root: Elem) {
+  final class Doc(val root: Elem, val itemscopeElems: Seq[Elem],
+                  val hasReverseAttr: Boolean) {
     /** First element per id, document order (nokogiri.rb:241-243 at_css). */
     lazy val byId: Map[String, Elem] = {
       val m = mutable.LinkedHashMap.empty[String, Elem]
@@ -125,8 +128,7 @@ object MicroDoc {
     /** Top-level items: `[itemscope]` without `@itemprop`
       * (nokogiri.rb:235-237).
       */
-    def topLevelItems: Seq[Elem] =
-      root.descendantsAndSelf.filter(e => e.has("itemscope") && !e.has("itemprop")).toSeq
+    def topLevelItems: Seq[Elem] = itemscopeElems.filter(e => !e.has("itemprop"))
 
     /** `html>head>base@href`, fragment-stripped by the caller
       * (nokogiri.rb:224-229). Forgiving: first <base href> anywhere.
@@ -152,6 +154,8 @@ object MicroDoc {
   def parse(html: String): Doc = {
     val root = new Elem("#root")
     val stack = mutable.ArrayBuffer[Elem](root)
+    val itemscopeElems = mutable.ArrayBuffer.empty[Elem]
+    var hasReverse = false
     val s = html
     lazy val lower = s.toLowerCase
     val n = s.length
@@ -244,6 +248,8 @@ object MicroDoc {
                   e.addAttr(aname, decodeEntities(avalue))
             }
           }
+          if (e.has("itemscope")) itemscopeElems += e
+          if (!hasReverse && e.has("itemprop-reverse")) hasReverse = true
           // implied end tags
           if (ClosesP.contains(tag) && stack.last.tag == "p") stack.dropRightInPlace(1)
           if ((tag == "li" && stack.last.tag == "li") ||
@@ -265,7 +271,7 @@ object MicroDoc {
       }
     }
     flushText()
-    new Doc(root)
+    new Doc(root, itemscopeElems.toSeq, hasReverse)
   }
 
   def decodeEntities(s: String): String = {
