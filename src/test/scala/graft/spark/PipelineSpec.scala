@@ -97,6 +97,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(nt.exists(_.contains("\"5\"^^<http://www.w3.org/2001/XMLSchema#integer>")))
   }
 
+  test("per-turn document base resolves relative references") {
+    val t = turns(("c9", 4,
+      """<div itemscope itemtype="http://schema.org/Person" itemid="people/9"><a itemprop="url" href="bio">bio</a></div>"""))
+    val out = ExtractPipeline.extract(t, basePrefix = "http://corpus.example/").collect()
+    val subj = out.map(_.subj).distinct
+    assert(subj.toSeq == Seq("http://corpus.example/c9/people/9"))
+    assert(out.exists(x => x.pred == "http://schema.org/url" &&
+      x.obj_iri == "http://corpus.example/c9/bio"))
+  }
+
   test("driver contract: entry() yields rows on sf0.001; all queries declared") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
     // every oracle entry has a matching query
