@@ -100,6 +100,12 @@ object TestGraph {
     }
   }
 
+  /** Every (markup, golden, base) case verified through check() is recorded
+    * here so PrReportSpec can aggregate suite-wide P/R over the exact same
+    * corpus the unit tests enforce.
+    */
+  val recorded = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
+
   /** Extract `md` and compare with `nt`, both possibly using the spec's
     * Person context wrappers (reader_spec.rb:73-81).
     */
@@ -113,6 +119,7 @@ object TestGraph {
   }
 
   def check(md: String, nt: String, base: String = null): Unit = {
+    recorded.add((md, nt, base))
     val res = extract(md, base)
     assertIsomorphic(res.triples, nt, s"for markup: $md")
   }
