@@ -363,6 +363,45 @@ class ExtractorSpec extends AnyFunSuite {
          _:c <http://schema.org/memberOf> _:b .""")
   }
 
+  // ---- additional edge semantics implied by the processing rules ----
+  test("edge: duplicate itemprop tokens collapse under set semantics") {
+    check("""<div itemscope='' itemtype="http://schema.org/Person"><span itemprop="name name">Ann</span></div>""",
+      """_:a <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://schema.org/Person> .
+         _:a <http://schema.org/name> "Ann" .""")
+  }
+  test("edge: itemscope wins over content attribute (nested item, not literal)") {
+    check("""<div itemscope='' itemtype="http://schema.org/Person"><div itemprop="knows" itemscope='' content="IGNORED" itemid="http://x/b"></div></div>""",
+      """_:a <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://schema.org/Person> .
+         _:a <http://schema.org/knows> <http://x/b> .""")
+  }
+  test("edge: itemref to a nonexistent id is ignored") {
+    check("""<div itemscope='' itemtype="http://schema.org/Person" itemref="nope"><span itemprop="name">Ann</span></div>""",
+      """_:a <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://schema.org/Person> .
+         _:a <http://schema.org/name> "Ann" .""")
+  }
+  test("edge: time element without datetime scans its text") {
+    check("""<div itemscope='' itemtype="http://schema.org/Person"><time itemprop="born">1815-12-10</time></div>""",
+      """_:a <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://schema.org/Person> .
+         _:a <http://schema.org/born> "1815-12-10"^^<http://www.w3.org/2001/XMLSchema#date> .""")
+  }
+  test("edge: URL element with missing href resolves to the base itself") {
+    check("""<div itemscope='' itemtype="http://schema.org/Person"><a itemprop="url"></a></div>""",
+      """_:a <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://schema.org/Person> .
+         _:a <http://schema.org/url> <http://example.com/page> .""",
+      base = "http://example.com/page")
+  }
+  test("edge: entities decode inside attribute values and text") {
+    check("""<div itemscope='' itemtype="http://schema.org/Person"><a itemprop="url" href="x?a=1&amp;b=2">go</a><span itemprop="name">AC&#47;DC &amp; Co</span></div>""",
+      """_:a <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://schema.org/Person> .
+         _:a <http://schema.org/url> <x?a=1&b=2> .
+         _:a <http://schema.org/name> "AC/DC & Co" .""")
+  }
+  test("edge: itemid on a non-itemscope element is ignored") {
+    check("""<div itemscope='' itemtype="http://schema.org/Person"><span itemid="http://x/ignored" itemprop="name">Ann</span></div>""",
+      """_:a <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://schema.org/Person> .
+         _:a <http://schema.org/name> "Ann" .""")
+  }
+
   // ---- inline vocabulary expansion (reader_spec.rb:846-876) ----
   test("expansion: additionalType always expands (http)") {
     check("""<div itemscope='' itemtype='http://schema.org/Person'>
