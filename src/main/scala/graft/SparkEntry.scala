@@ -111,17 +111,26 @@ object SparkEntry {
         .orderBy(col("conv_id"))),
 
     // ---- classic relational (joins / aggregation) ----
+    // DECIMAL stays internal (exact math); the FINAL projection is the
+    // decimal's lexical form (string) — decimal→string is exact and
+    // engine-portable, where decimal parquet encodings hash differently
+    // between engines (round-1 driver hash_match failure).
     "q1_pricing" -> ((s, dir) =>
       table(s, dir, "lineitem")
         .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_base"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("d_qty"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("d_base"),
           sum(col("l_extendedprice").cast("decimal(12,2)") *
             (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
-            .cast("decimal(18,4)").as("sum_disc_price"),
+            .cast("decimal(18,4)").as("d_disc_price"),
           count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("d_qty").cast("string").as("sum_qty"),
+          col("d_base").cast("string").as("sum_base"),
+          col("d_disc_price").cast("string").as("sum_disc_price"),
+          col("n_rows"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
     "q3_top_orders" -> ((s, dir) => {
@@ -133,11 +142,12 @@ object SparkEntry {
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
             (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
-          .cast("decimal(18,4)").as("revenue"))
-        .select(col("o_orderkey"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"), col("revenue"))
-        .orderBy(col("revenue").desc, col("o_orderkey"))
+          .cast("decimal(18,4)").as("d_revenue"))
+        .orderBy(col("d_revenue").desc, col("o_orderkey"))
         .limit(10)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("d_revenue").cast("string").as("revenue"))
     }),
 
     "events_hourly" -> ((s, dir) =>
@@ -301,20 +311,24 @@ object SparkEntry {
 
       "q1_pricing" ->
         """SELECT l_returnflag, l_linestatus,
-          |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base,
-          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+          |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_qty,
+          |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_base,
+          |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS VARCHAR) AS sum_disc_price,
           |  COUNT(*) AS n_rows
           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "q3_top_orders" ->
         """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue
-          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
-          |WHERE c_mktsegment = 'BUILDING'
-          |GROUP BY o_orderkey, o_orderdate
-          |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+          |  CAST(d_revenue AS VARCHAR) AS revenue
+          |FROM (
+          |  SELECT o_orderkey, o_orderdate,
+          |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS d_revenue
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+          |  WHERE c_mktsegment = 'BUILDING'
+          |  GROUP BY o_orderkey, o_orderdate
+          |  ORDER BY d_revenue DESC, o_orderkey LIMIT 10
+          |) t ORDER BY d_revenue DESC, o_orderkey""".stripMargin,
 
       "events_hourly" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
