@@ -204,8 +204,16 @@ object Extractor {
       if (itemref != null) itemref.split(' ').filter(_.nonEmpty)
         .foreach(id => doc.byId.get(id).foreach(pending += _))
       val results = mutable.ArrayBuffer.empty[Elem]
+      // revisit detection (reader.rb:403-406): an element dequeued twice —
+      // e.g. an itemref target inside the item's own subtree, or two itemref
+      // tokens whose targets overlap — fails the crawl, so the item yields
+      // NO properties (itemProperties catches and logs), not duplicates
+      val visited = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[Elem, java.lang.Boolean]())
       while (pending.nonEmpty) {
         val current = pending.dequeue()
+        if (!visited.add(current))
+          throw new CrawlFailure("elements_in_item: element reached twice (overlapping itemref)")
         if (!current.has("itemscope")) enqueueChildren(current)
         results += current
       }

@@ -46,15 +46,23 @@ case class FloatDotProduct(left: Expression, right: Expression)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh identifiers: two instances of this expression can land in the
+      // same codegen scope (both children non-nullable ⇒ no brace-scoped
+      // null guard), where fixed names would declare duplicate locals and
+      // force a silent interpreted fallback
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-         |int graft_n = Math.min($a.numElements(), $b.numElements());
-         |double graft_acc = 0.0;
-         |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
-         |  graft_acc += (double)$a.getFloat(graft_i) * (double)$b.getFloat(graft_i);
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
          |}
-         |${ev.value} = graft_acc;
-         |""".stripMargin)
+         |${ev.value} = $acc;
+         |""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): FloatDotProduct =
     copy(left = newLeft, right = newRight)

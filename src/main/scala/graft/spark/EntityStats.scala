@@ -22,7 +22,11 @@ object EntityStats {
     * differs (phase 1: (subj, salt) keys, phase 2: `salt` rows per subject).
     */
   def bySubject(triples: Dataset[Triple], salt: Int = 16): DataFrame = {
-    val salted = triples.withColumn("salt", pmod(crc32(col("conv_id")), lit(salt)))
+    // salt on (conv_id, turn_idx): a hot subject whose triples all come from
+    // ONE conversation still spreads across `salt` reducers (a conv_id-only
+    // salt would give it a single constant salt value)
+    val salted = triples.withColumn("salt",
+      pmod(hash(col("conv_id"), col("turn_idx")), lit(salt)))
     val partial = salted.groupBy(col("subj"), col("salt")).agg(
       count(lit(1)).as("p_triples"),
       collect_set(col("pred")).as("p_pred_set"))

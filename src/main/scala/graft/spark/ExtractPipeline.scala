@@ -114,11 +114,18 @@ object ExtractPipeline {
     val objIri = when(col("obj_iri").startsWith(Extractor.SkolemPrefix),
         concat(lit("_:"), substring(col("obj_iri"), Extractor.SkolemPrefix.length + 1, 1000)))
       .otherwise(concat(lit("<"), col("obj_iri"), lit(">")))
+    // same escape set as graft.core.NTriples.escape: backslash, quote, and
+    // the named control escapes \n \r \t (other control chars are absent
+    // from extracted lexical forms — MicroDoc text is HTML-normalized)
     val escaped = regexp_replace(
       regexp_replace(
-        regexp_replace(col("obj_lexical"), "\\\\", "\\\\\\\\"),
-        "\"", "\\\\\""),
-      "\n", "\\\\n")
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("obj_lexical"), "\\\\", "\\\\\\\\"),
+            "\"", "\\\\\""),
+          "\n", "\\\\n"),
+        "\r", "\\\\r"),
+      "\t", "\\\\t")
     val lex = concat(lit("\""), escaped, lit("\""))
     val objLit = when(col("obj_lang").isNotNull, concat(lex, lit("@"), col("obj_lang")))
       .when(col("obj_datatype").isNotNull, concat(lex, lit("^^<"), col("obj_datatype"), lit(">")))

@@ -26,9 +26,13 @@ object Resume {
   def completedBuckets(outDir: String): Set[Int] = {
     val dir = manifestDir(outDir)
     if (!Files.exists(dir)) Set.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("bucket-"))
-      .map(_.stripPrefix("bucket-").toInt).toSet
+    else {
+      val stream = Files.list(dir)
+      try stream.iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("bucket-"))
+        .map(_.stripPrefix("bucket-").toInt).toSet
+      finally stream.close()
+    }
   }
 
   private def commitBuckets(outDir: String, buckets: Iterable[Int]): Unit = {
@@ -42,7 +46,6 @@ object Resume {
     */
   def writeWithResume(transcripts: DataFrame, outDir: String, nBuckets: Int = 64,
                       registry: RegistryIndex = ExtractPipeline.defaultRegistry): Summary = {
-    val spark = transcripts.sparkSession
     val done = completedBuckets(outDir)
     val all = 0 until nBuckets
     val todo = all.filterNot(done)
@@ -54,13 +57,17 @@ object Resume {
     val triples = ExtractPipeline.extract(bucketed.drop("bucket"), registry)
       .withColumn("bucket", pmod(crc32(col("conv_id")), lit(nBuckets)))
 
-    // dynamic overwrite: replaces only the partitions being (re)written, so a
-    // half-written bucket from a crashed attempt is atomically replaced
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val counted = triples.cache()
-    val n = counted.count()
-    counted.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(outDir)
-    counted.unpersist()
+    // dynamic overwrite (writer-scoped option, not a session-wide conf):
+    // replaces only the partitions being (re)written, so a half-written
+    // bucket from a crashed attempt is atomically replaced. The row count
+    // rides along as an observed metric on the write itself — no cache of
+    // the full triple set, no second pass.
+    val obs = org.apache.spark.sql.Observation()
+    triples.observe(obs, count(lit(1)).as("rows"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(outDir)
+    val n = obs.get("rows").asInstanceOf[Long]
     commitBuckets(outDir, todo)
     Summary(todo, done.toSeq.sorted, n)
   }

@@ -281,6 +281,24 @@ class ExtractorSpec extends AnyFunSuite {
     assert(res.triples.isEmpty)
   }
 
+  test("itemref: target inside the item's own subtree fails the crawl (no dup props)") {
+    // reader.rb:403-406: an element dequeued twice raises CrawlFailure →
+    // the item emits NO property triples (type triples precede the crawl)
+    val md = """<div itemscope itemtype="http://schema.org/Person" itemref="inside">
+                  <div id="inside"><span itemprop="name">Ann</span></div>
+                </div>"""
+    val res = extract(md)
+    assert(res.errors.exists(_.contains("reached twice")))
+    assert(res.triples.map(_.pred) == Vector("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"))
+  }
+  test("itemref: overlapping targets fail the crawl (no dup props)") {
+    val md = """<div itemscope itemtype="http://schema.org/Person" itemref="a b"></div>
+                <div id="a"><span id="b" itemprop="name">Ann</span></div>"""
+    val res = extract(md)
+    assert(res.errors.exists(_.contains("reached twice")))
+    assert(res.triples.map(_.pred) == Vector("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"))
+  }
+
   // ---- propertyURI generation (reader_spec.rb:667-753) ----
   test("propertyURI: http://foo/bar + baz → http://foo/baz") {
     check("""<div itemscope='' itemtype='http://foo/bar'><p itemprop='baz'>FooBar</p></div>""",

@@ -114,6 +114,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
 
+  test("EntityStats salt splits a single-conversation hot subject across reducers") {
+    // hot subject, ONE conversation, many turns: the (conv_id, turn_idx)
+    // salt must still spread it (a conv_id-only salt would collapse to 1)
+    val hot = (0 until 64).map(i =>
+      Triple("http://x/hot", s"http://x/p$i", null, s"v$i", null, null, "conv-1", i)).toDS()
+    val salts = hot.select(pmod(hash($"conv_id", $"turn_idx"), lit(16)).as("s"))
+      .distinct().count()
+    assert(salts >= 2)
+    val out = EntityStats.bySubject(hot).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 64 && out.head.getLong(2) == 64)
+  }
+
   test("turn ordering invariant: window by conv_id/turn_idx is stable") {
     val t = Transcripts.synthetic(spark, 100, 5)
     import org.apache.spark.sql.expressions.Window
