@@ -202,7 +202,8 @@ object SparkEntry {
     "kg_ntriples" -> ((s, dir) =>
       ExtractPipeline.toNTriples(customerTriples(s, dir)).orderBy(col("value"))),
 
-    // probabilistic / hash-specific ops: rows-only check (no portable SQL)
+    // probabilistic ops on engine-portable hashes (PortableHash) — every
+    // one oracle-checked bit-for-bit since round 2
     "doc_minhash_pairs" -> ((s, dir) =>
       TextOps.minhashLshPairs(table(s, dir, "documents"), k = 3,
           numHashes = 32, bands = 16, threshold = 0.3)
@@ -225,14 +226,35 @@ object SparkEntry {
         .orderBy(col("vec_a"), col("rank"))),
 
     "sim_lsh_pairs" -> ((s, dir) =>
-      VectorOps.lshBucketedPairs(table(s, dir, "embeddings"), nBits = 8, threshold = 0.3)
-        .orderBy(col("vec_a"), col("vec_b"))))
+      VectorOps.lshBucketedPairs(table(s, dir, "embeddings"),
+          nBits = 8, nTables = 4, threshold = 0.3)
+        .orderBy(col("vec_a"), col("vec_b"))),
 
-  /** DuckDB-runnable expected results. Omitted for the probabilistic /
-    * engine-hash-specific ops (doc_minhash_pairs, doc_simhash,
-    * doc_fingerprint, sim_lsh_pairs) → driver records rows-only checks.
+    // LSH recall vs the exact blocked path, on a corpus with
+    // deterministically planted near-duplicates (the raw embeddings table
+    // is isotropic noise — no near-dup structure to recall)
+    "sim_lsh_recall" -> ((s, dir) =>
+      VectorOps.lshRecall(table(s, dir, "embeddings"),
+        nBits = 8, nTables = 4, threshold = 0.9)),
+
+    // multimodal plumbing: binary payload column → decoded metadata; the
+    // oracle reconstructs the expected header fields arithmetically, so the
+    // byte-level decode path is gated end-to-end
+    "mm_media_meta" -> ((s, _) =>
+      graft.ops.MultimodalOps.decodeMeta(graft.ops.MultimodalOps.syntheticMedia(s, 500)).toDF()
+        .select(col("media_id"), col("kind"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("duration_ms").cast("long").as("duration_ms"),
+          col("byte_len").cast("long").as("byte_len"))
+        .orderBy(col("media_id"))))
+
+  /** DuckDB-runnable expected results — one per query (since round 2 the
+    * probabilistic ops run on PortableHash arithmetic, so their oracles
+    * reproduce the hashes bit-for-bit; several oracle bodies below are
+    * machine-generated from the same constants the Spark expressions use).
     */
   def oracleSql: Map[String, String] = {
+    import graft.ops.PortableHash._
     val custMarkup =
       """printf('Here is customer %d: <div itemscope itemtype="http://schema.org/Person" itemid="http://ex.org/customer/%d" lang="en"><span itemprop="name">%s</span><data itemprop="acctbal" value="%s"/><span itemprop="segment" content="%s">segment</span><div itemprop="nation" itemscope itemtype="http://schema.org/Country" itemid="http://ex.org/nation/%d"><span itemprop="name">%s</span></div><link itemprop="additionalType" href="http://ex.org/class/Customer"></div> done.', c_custkey, c_custkey, c_name, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR), c_mktsegment, c_nationkey, n_name)"""
     Map(
@@ -379,13 +401,110 @@ object SparkEntry {
 
       "doc_jaccard_pairs" ->
         """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-          |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle FROM toks),
+          |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle FROM toks),
+          |dfc AS (SELECT shingle, COUNT(*) AS c FROM sh0 GROUP BY 1),
+          |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN dfc USING (shingle) WHERE dfc.c <= 1000),
           |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
           |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
           |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
           |j AS (SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
           |      FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b)
           |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+
+      "doc_fingerprint" ->
+        s"""SELECT doc_id,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(string_split(text, ' '), gt -> ${tokenHashSql("gt")})),
+           |    (fa, fh) -> (fa*31 + fh) % $FingerprintP) AS fingerprint
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "doc_simhash" -> {
+        val votes = (0 until graft.ops.TextOps.SimhashBits)
+          .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i").mkString(", ")
+        val pack = (0 until graft.ops.TextOps.SimhashBits)
+          .map(i => s"(CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+           |h AS (SELECT doc_id, ${tokenHash62Sql("t")} AS h FROM tok),
+           |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
+           |SELECT doc_id, $pack AS simhash FROM v ORDER BY doc_id""".stripMargin
+      },
+
+      "doc_minhash_pairs" -> {
+        val numHashes = 32; val bands = 16; val rows = numHashes / bands
+        val mins = (0 until numHashes)
+          .map(i => s"MIN(${permutedSql("h0", i)}) AS h$i").mkString(", ")
+        val banded = (0 until bands).map { b =>
+          val fold = bandFoldSql((b * rows until (b + 1) * rows).map(i => s"h$i"))
+          s"SELECT doc_id, $b AS band, $fold AS bsig FROM sg"
+        }.mkString(" UNION ALL ")
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle FROM toks),
+           |dfc AS (SELECT shingle, COUNT(*) AS c FROM sh0 GROUP BY 1),
+           |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN dfc USING (shingle) WHERE dfc.c <= 1000),
+           |h0t AS (SELECT doc_id, shingle, ${tokenHash31Sql("shingle")} AS h0 FROM sh),
+           |sg AS (SELECT doc_id, $mins FROM h0t GROUP BY doc_id),
+           |banded AS ($banded),
+           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |         FROM banded x JOIN banded y ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+           |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i FROM cand c
+           |          JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+           |          GROUP BY 1, 2),
+           |j AS (SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
+           |      FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b)
+           |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
+      },
+
+      "kg_ntriples" ->
+        """WITH c AS (SELECT * FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey % 7 <> 0)
+          |SELECT value FROM (
+          |  SELECT printf('<http://ex.org/customer/%d> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://schema.org/Person> .', c_custkey) AS value FROM c
+          |  UNION ALL SELECT printf('<http://ex.org/customer/%d> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/class/Customer> .', c_custkey) FROM c
+          |  UNION ALL SELECT printf('<http://ex.org/customer/%d> <http://schema.org/name> "%s"@en .', c_custkey, c_name) FROM c
+          |  UNION ALL SELECT printf('<http://ex.org/customer/%d> <http://schema.org/segment> "%s"@en .', c_custkey, c_mktsegment) FROM c
+          |  UNION ALL SELECT printf('<http://ex.org/customer/%d> <http://schema.org/acctbal> "%s"^^<http://www.w3.org/2001/XMLSchema#double> .', c_custkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)) FROM c
+          |  UNION ALL SELECT printf('<http://ex.org/customer/%d> <http://schema.org/nation> <http://ex.org/nation/%d> .', c_custkey, c_nationkey) FROM c
+          |  UNION ALL SELECT printf('<http://ex.org/customer/%d> <http://schema.org/additionalType> <http://ex.org/class/Customer> .', c_custkey) FROM c
+          |  UNION ALL SELECT DISTINCT printf('<http://ex.org/nation/%d> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://schema.org/Country> .', c_nationkey) FROM c
+          |  UNION ALL SELECT DISTINCT printf('<http://ex.org/nation/%d> <http://schema.org/name> "%s"@en .', c_nationkey, n_name) FROM c
+          |) t ORDER BY value""".stripMargin,
+
+      "sim_lsh_pairs" ->
+        s"""WITH tb AS (SELECT vec_id, t, ${lshBucketSql("embedding", "t", 8)} AS bucket
+           |            FROM embeddings, range(0, 4) r(t)),
+           |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+           |         FROM tb x JOIN tb y ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+           |ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |p AS (SELECT vec_a, vec_b,
+           |        list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+           |      FROM cand JOIN ed a ON a.vec_id = vec_a JOIN ed b ON b.vec_id = vec_b)
+           |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos_sim FROM p WHERE cos >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+
+      "sim_lsh_recall" ->
+        s"""WITH corpus AS (
+           |  SELECT CAST(vec_id AS VARCHAR) AS vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT CAST(vec_id AS VARCHAR) || '_p',
+           |    list_transform(range(1, len(embedding)+1),
+           |      gi -> CAST(CAST(embedding[gi] AS DOUBLE) * (1.0 + 0.05 * (${planeSql("999983", "gi-1")})) AS FLOAT))
+           |  FROM embeddings),
+           |ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM corpus),
+           |ex AS (SELECT COUNT(*) AS n_exact FROM ed a JOIN ed b ON a.vec_id < b.vec_id
+           |       WHERE list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.9),
+           |tb AS (SELECT vec_id, t, ${lshBucketSql("embedding", "t", 8)} AS bucket
+           |       FROM corpus, range(0, 4) r(t)),
+           |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+           |         FROM tb x JOIN tb y ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+           |ls AS (SELECT COUNT(*) AS n_lsh FROM cand JOIN ed a ON a.vec_id = cand.vec_a JOIN ed b ON b.vec_id = cand.vec_b
+           |       WHERE list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.9)
+           |SELECT n_exact, n_lsh, ROUND(CAST(n_lsh AS DOUBLE) / n_exact, 4) AS recall FROM ex, ls""".stripMargin,
+
+      "mm_media_meta" ->
+        """SELECT id AS media_id,
+          |  CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+          |  64 + id % 512 AS width, 64 + id % 256 AS height,
+          |  1000 + id % 60000 AS duration_ms, 48 + id % 96 AS byte_len
+          |FROM range(0, 500) t(id) ORDER BY media_id""".stripMargin,
 
       "sim_cosine_pairs" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

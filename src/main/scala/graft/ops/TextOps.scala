@@ -69,14 +69,14 @@ object TextOps {
   }
 
   /** Rolling-hash document fingerprint (content-defined, order-sensitive):
-    * polynomial hash over tokens via Horner's rule with aggregate().
+    * Horner fold over engine-portable token hashes — bit-for-bit
+    * reproducible in the DuckDB oracle (PortableHash), unlike xxhash64.
     */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      aggregate(tokens(col("text")), lit(0L),
-        (acc, x) => pmod(acc * 31L + pmod(xxhash64(x), lit(1000003L)),
-          lit(999999999999989L))).as("fingerprint"))
+      aggregate(transform(tokens(col("text")), t => PortableHash.tokenHash(t)), lit(0L),
+        (acc, h) => pmod(acc * 31L + h, lit(PortableHash.FingerprintP))).as("fingerprint"))
 
   /** Exact duplicate groups by full-text hash (hash-groupBy dedup).
     * Map-side partial aggregation makes this one cheap shuffle of
@@ -104,15 +104,40 @@ object TextOps {
     * shingle key), count intersections, compute |A∩B| / (|A|+|B|-|A∩B|).
     * At scale the shingle join is the classic "documents never pair
     * all-vs-all" trick: cost is Σ bucket².
+    *
+    * `maxDf` caps shingle document frequency before the self-join: a single
+    * corpus-common shingle ("of the and") otherwise makes one join bucket
+    * quadratic at 100 TB. Capped shingles are dropped from BOTH the
+    * intersection AND the per-doc sizes — i.e. Jaccard over the capped
+    * shingle sets, a well-defined (and oracle-replicated) semantics. On the
+    * test corpus max df is single-digit, so results are unchanged.
     */
-  def jaccardPairs(docs: DataFrame, k: Int, threshold: Double): DataFrame = {
-    val sh = shingles(docs, k)
+  def jaccardPairs(docs: DataFrame, k: Int, threshold: Double,
+                   maxDf: Long = 1000L): DataFrame = {
+    val sh = cappedShingles(docs, k, maxDf)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a")
     val b = sh.as("b")
     val inter = a.join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    verifyJaccard(inter, sizes, threshold)
+  }
+
+  /** Shingles minus those appearing in more than maxDf documents (the df
+    * filter is one partial-agg groupBy on the shingle key + a semi-join
+    * back — both shuffles are on the same key, so AQE coalesces them).
+    */
+  def cappedShingles(docs: DataFrame, k: Int, maxDf: Long): DataFrame = {
+    val sh = shingles(docs, k)
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("shingle"))
+    sh.join(rare, Seq("shingle"), "left_semi")
+  }
+
+  /** |A∩B|/(|A|+|B|−|A∩B|) ≥ threshold from intersection counts + sizes. */
+  private def verifyJaccard(inter: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
@@ -120,7 +145,6 @@ object TextOps {
         round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
 
   /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.
     * numHashes independent permutations approximated by seeded xxhash64;
@@ -129,16 +153,21 @@ object TextOps {
     * all-pairs. Probabilistic recall; verification keeps precision exact.
     */
   def minhashLshPairs(docs: DataFrame, k: Int, numHashes: Int, bands: Int,
-                      threshold: Double): DataFrame = {
+                      threshold: Double, maxDf: Long = 1000L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val sh = shingles(docs, k)
-    // signature: for each seed, min over shingles of xxhash64(seed, shingle)
-    val sigCols = (0 until numHashes).map(s => min(xxhash64(lit(s), col("shingle"))).as(s"h$s"))
-    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val sh = cappedShingles(docs, k, maxDf)
+    // signature: for each permutation i, min over shingles of
+    // (a_i·h31(shingle) + b_i) mod P31 — all portable arithmetic, so the
+    // DuckDB oracle reproduces the candidate set bit-for-bit
+    val based = sh.withColumn("h0", PortableHash.tokenHash31(col("shingle")))
+    val sigCols = (0 until numHashes).map(i =>
+      min(PortableHash.permuted(col("h0"), i)).as(s"h$i"))
+    val sig = based.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        hash((b * rows until (b + 1) * rows).map(s => col(s"h$s")): _*).as("sig")).as(s"b$b")
+        PortableHash.bandFold((b * rows until (b + 1) * rows).map(i => col(s"h$i")))
+          .as("sig")).as(s"b$b")
     }
     val banded = sig.select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"), explode(array((0 until bands).map(b => col(s"b$b")): _*)).as("bk"))
@@ -157,26 +186,28 @@ object TextOps {
       .join(shB, Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifyJaccard(inter, sizes, threshold)
   }
 
-  /** SimHash (64-bit) per document: per-token hash bits weighted ±1,
-    * sign-aggregated. Near-dups have small Hamming distance.
+  /** SimHash (62-bit) per document: per-token portable hash bits weighted
+    * ±1, sign-aggregated. Near-dups have small Hamming distance.
+    *
+    * Shape: explode tokens → one shuffle-free partial-agg groupBy(doc_id)
+    * with 62 int-sum vote columns (commutative exact sums — map-side
+    * combine does most of the work), then one projection packs the sign
+    * bits. 62 bits = two independent 31-bit char folds packed, the widest
+    * portable hash that stays inside non-negative Long.
     */
+  val SimhashBits = 62
+
   def simhash(docs: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
-    // for each bit position, sum(+1/-1) over tokens; set bit if positive
-    val bits = (0 until 64).map { i =>
-      val vote = aggregate(t, lit(0),
-        (acc, x) => acc + when(shiftright(xxhash64(x), i).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    docs.select(col("doc_id"), bits.reduce(_.bitwiseOR(_)).as("simhash"))
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", PortableHash.tokenHash62(col("tok")))
+    val votes = (0 until SimhashBits).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i"))
+    tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimhashBits).map(i =>
+          when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
   }
 }

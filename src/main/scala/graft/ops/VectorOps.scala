@@ -4,11 +4,23 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`Array[Float]`), pure
-  * Catalyst expressions (zip_with/aggregate — codegen'd, no UDF).
+  * Catalyst expressions (codegen'd, no UDF).
   *
-  * Baseline: brute-force cosine top-k (all-pairs; fine ≤ ~10^4 vectors per
-  * bucket). Scale path: random-hyperplane LSH bucketing so the pair join is
-  * per-bucket, plus a norm pre-computation so cosine is one dot product.
+  * Exact paths (cosinePairs, topK) are **blocked all-pairs equi-joins**:
+  * each vector is assigned a block by id hash and replicated across the
+  * block-pair keys it participates in, so the n² compute distributes as
+  * B(B+1)/2 independent equi-join buckets with bounded task memory — no
+  * BroadcastNestedLoopJoin, no driver-side broadcast of the whole table, no
+  * single-task cartesian. (Exact threshold/top-k similarity over isotropic
+  * vectors is inherently Ω(n²) compute; the blocked join is how that
+  * compute survives a 1000-executor cluster.)
+  *
+  * Scale path (lshBucketedPairs): multi-table random-hyperplane LSH with
+  * engine-portable hyperplanes (PortableHash.plane — LCG arithmetic, no
+  * stored model), dimensionality taken from the array itself. Candidates
+  * are verified with exact cosine, so precision is exact and recall is the
+  * standard 1−(1−p^bits)^tables tradeoff — measured honestly by
+  * `lshRecall` against the exact path.
   */
 object VectorOps {
 
@@ -24,58 +36,124 @@ object VectorOps {
   private def withNorm(embs: DataFrame): DataFrame =
     embs.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
 
-  /** All-pairs cosine ≥ threshold (brute force baseline). */
-  def cosinePairs(embs: DataFrame, threshold: Double): DataFrame = {
-    val a = withNorm(embs).as("a")
-    val b = withNorm(embs).as("b")
-    a.join(b, col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos",
-        dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+  private def cosSim(aEmb: Column, aNrm: Column, bEmb: Column, bNrm: Column): Column =
+    dot(aEmb, bEmb) / (aNrm * bNrm)
+
+  /** Exact all-pairs cosine ≥ threshold as a blocked equi-join.
+    *
+    * Unordered block pairs: a vector in block g joins key (i=g, j) for all
+    * j ≥ g on the left and (i, j=g) for all i ≤ g on the right, so every
+    * vector pair meets in exactly one (i, j) bucket; i == j needs the id
+    * tiebreak. Replication factor ≈ B/2 per side; per-bucket work n²/B².
+    */
+  def cosinePairs(embs: DataFrame, threshold: Double, nBlocks: Int = 8): DataFrame = {
+    val e = withNorm(embs).withColumn("blk", pmod(hash(col("vec_id")), lit(nBlocks)))
+    val left = e.withColumn("bj", explode(array((0 until nBlocks).map(lit): _*)))
+      .filter(col("bj") >= col("blk"))
+      .withColumnRenamed("blk", "bi")
+    val right = e.withColumn("bi", explode(array((0 until nBlocks).map(lit): _*)))
+      .filter(col("bi") <= col("blk"))
+      .withColumnRenamed("blk", "bj")
+    left.as("a").join(right.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bj") === col("b.bj") &&
+          (col("a.bi") =!= col("a.bj") || col("a.vec_id") < col("b.vec_id")) &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cos", cosSim(col("a.embedding"), col("a.nrm"), col("b.embedding"), col("b.nrm")))
       .filter(col("cos") >= threshold)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
         round(col("cos"), 4).as("cos_sim"))
   }
 
-  /** Brute-force cosine top-k per query vector (deterministic tiebreak on
-    * neighbor id).
+  /** Exact cosine top-k per query vector, blocked + hierarchical:
+    * query q (block g) replicates to keys (g, 0..B−1); candidate c (block
+    * h) to keys (0..B−1, h) — each ordered (q, c) pair meets once at
+    * (g, h). Top-k is taken per (query, candidate-block) first (partitions
+    * of ≈ n/B rows), then globally over the B·k survivors — the ranking
+    * window never sees n² rows.
     */
-  def topK(embs: DataFrame, k: Int): DataFrame = {
+  def topK(embs: DataFrame, k: Int, nBlocks: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val a = withNorm(embs).as("a")
-    val b = withNorm(embs).as("b")
-    val w = Window.partitionBy(col("vec_a")).orderBy(col("cos").desc, col("vec_b"))
-    a.join(b, col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val e = withNorm(embs).withColumn("blk", pmod(hash(col("vec_id")), lit(nBlocks)))
+    val q = e.withColumn("cb", explode(array((0 until nBlocks).map(lit): _*)))
+      .withColumnRenamed("blk", "qb")
+    val c = e.withColumn("qb", explode(array((0 until nBlocks).map(lit): _*)))
+      .withColumnRenamed("blk", "cb")
+    val scored = q.as("a").join(c.as("b"),
+        col("a.qb") === col("b.qb") && col("a.cb") === col("b.cb") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("b.cb").as("cb"),
+        cosSim(col("a.embedding"), col("a.nrm"), col("b.embedding"), col("b.nrm")).as("cos"))
+    val perBlock = Window.partitionBy(col("vec_a"), col("cb"))
+      .orderBy(col("cos").desc, col("vec_b"))
+    val global = Window.partitionBy(col("vec_a")).orderBy(col("cos").desc, col("vec_b"))
+    scored
+      .withColumn("br", row_number().over(perBlock)).filter(col("br") <= k)
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"), col("rank"))
   }
 
-  /** Random-hyperplane LSH bucket key: sign bits of dot products with
-    * `nBits` pseudo-random hyperplanes derived deterministically from
-    * xxhash64(bit, dim) — no stored model, reproducible across runs.
-    * Vectors sharing a bucket are near in angle with high probability;
-    * candidate pairs are verified with exact cosine.
+  /** Multi-table random-hyperplane LSH near-neighbor pairs ≥ threshold.
+    *
+    * One exploded pass computes every table's bucket (dimensionality from
+    * `size(embedding)`, hyperplanes from portable LCG arithmetic); the
+    * self-join is an equi-join on (table, bucket) — never all-pairs.
+    * Candidate pairs (deduped across tables) are verified with exact
+    * cosine: precision exact, recall = 1−(1−p^nBits)^nTables per pair.
     */
-  def lshBucketedPairs(embs: DataFrame, nBits: Int, threshold: Double): DataFrame = {
-    val dims = 64 // embedding dimensionality of the corpus tables
-    val hashed = withNorm(embs).withColumn("bucket",
-      (0 until nBits).map { bit =>
-        // hyperplane component h(bit, d) in [-1, 1): derived from xxhash64
-        val proj = (0 until dims).map { d =>
-          element_at(col("embedding"), d + 1).cast("double") *
-            ((xxhash64(lit(bit * 131 + d)) % 1000L).cast("double") / 1000.0)
-        }.reduce(_ + _)
-        when(proj >= 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
-      }.reduce(_.bitwiseOR(_)))
-    val a = hashed.as("a")
-    val b = hashed.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos",
-        dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+  def lshBucketedPairs(embs: DataFrame, nBits: Int, nTables: Int,
+                       threshold: Double): DataFrame = {
+    val cand = lshCandidates(embs, nBits, nTables)
+    val e = withNorm(embs)
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")), "vec_b")
+      .withColumn("cos", cosSim(col("ea"), col("na"), col("eb"), col("nb")))
       .filter(col("cos") >= threshold)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(col("cos"), 4).as("cos_sim"))
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /** Distinct candidate pairs sharing ≥1 LSH bucket in ≥1 table. */
+  def lshCandidates(embs: DataFrame, nBits: Int, nTables: Int): DataFrame = {
+    val tabled = embs.select(col("vec_id"), col("embedding"))
+      .withColumn("table_id", explode(array((0 until nTables).map(lit): _*)))
+      .withColumn("bucket", PortableHash.lshBucket(col("embedding"), col("table_id"), nBits))
+      .select(col("vec_id"), col("table_id"), col("bucket"))
+    tabled.as("x").join(tabled.as("y"),
+        col("x.table_id") === col("y.table_id") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+  }
+
+  /** Deterministically perturbed copy of each vector (relative per-dim
+    * noise from the portable plane LCG, seeded off `seed`): cos(v, v′) ≈
+    * 1 − ε²·Var ≈ 0.999 — the planted near-duplicate corpus for honest
+    * LSH recall measurement (the raw embeddings table is isotropic noise
+    * with NO near-dup structure: max off-diagonal cos ≈ 0.6).
+    */
+  def perturbed(embs: DataFrame, eps: Double, seed: Int, idSuffix: String): DataFrame =
+    embs.select(
+      concat(col("vec_id").cast("string"), lit(idSuffix)).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x.cast("double") * (lit(1.0) + lit(eps) * PortableHash.plane(lit(seed), i)))
+          .cast("float")).as("embedding"))
+
+  /** LSH recall report vs the exact blocked path on a planted-near-dup
+    * corpus: one row (n_exact, n_lsh, recall). LSH output is a subset of
+    * the exact output by construction (same threshold, same cosine), so
+    * the count ratio IS recall.
+    */
+  def lshRecall(embs: DataFrame, nBits: Int, nTables: Int, threshold: Double,
+                eps: Double = 0.05, seed: Int = 999983): DataFrame = {
+    val corpus = embs.select(col("vec_id").cast("string").as("vec_id"), col("embedding"))
+      .unionByName(perturbed(embs, eps, seed, "_p"))
+    val exact = cosinePairs(corpus, threshold)
+      .agg(count(lit(1)).as("n_exact"))
+    val lsh = lshBucketedPairs(corpus, nBits, nTables, threshold)
+      .agg(count(lit(1)).as("n_lsh"))
+    exact.crossJoin(lsh)
+      .select(col("n_exact"), col("n_lsh"),
+        round(col("n_lsh").cast("double") / col("n_exact"), 4).as("recall"))
   }
 }
