@@ -1,26 +1,56 @@
 package graft.spark
 
 import graft.model.Triple
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Distributed OWL-RL-subset entailment: rules prp-spo1, prp-eqp1, prp-eqp2
   * (the reference's Expansion module,
   * /root/reference/lib/rdf/microdata/expansion.rb:123-139), re-expressed as
-  * DataFrame self-joins.
+  * DataFrame joins against a broadcast schema-edge table.
   *
   * Where the reference re-runs every rule over the whole repository until
   * the count stops growing (naive fixpoint, expansion.rb:145-162 — fine at
-  * page scale, quadratic at ours), this is a **semi-naive** loop: each
-  * iteration joins only against the schema-edge side (tiny, broadcast) and
-  * adds only the delta (`except` previous), with `localCheckpoint` per
-  * iteration to keep lineage flat. Schema edges are re-derived per iteration
-  * so rule output that is itself a subPropertyOf/equivalentProperty edge
-  * feeds back, exactly like the reference's whole-repo iteration.
+  * page scale, quadratic at ours), this is a TRUE **semi-naive** loop:
+  *
+  *  - iteration i derives only from the PREVIOUS DELTA joined with the
+  *    (tiny, broadcast) schema edges — never re-deriving from the full
+  *    accumulated set;
+  *  - the one case naive re-derivation would catch — a derived triple that
+  *    is itself a new schema edge — is handled incrementally: new edges are
+  *    diffed out of the delta and joined against `all` once;
+  *  - the novelty check is a null-safe `left_anti` join on the six identity
+  *    columns (round 1 used `except`, which distincts and compares the full
+  *    row width every iteration).
+  *
+  * Per-iteration cost is O(|Δ| + |all ⋈ Δedges|), not O(|all|): the loop
+  * stays flat as the graph accumulates.
   */
 object Entailment {
   val SubPropertyOf = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
   val EquivalentProperty = "http://www.w3.org/2002/07/owl#equivalentProperty"
+
+  /** (e_p1, e_p2) rewrite edges from a triple set: p1 ⊑ p2 forward, plus
+    * both directions of ≡. Vocabulary-sized by construction → broadcast.
+    */
+  private def schemaEdges(ds: Dataset[Triple]): DataFrame = {
+    val spo = ds.filter(col("pred") === SubPropertyOf && col("obj_iri").isNotNull)
+      .select(col("subj").as("e_p1"), col("obj_iri").as("e_p2"))
+    val eqp = ds.filter(col("pred") === EquivalentProperty && col("obj_iri").isNotNull)
+    spo
+      .union(eqp.select(col("subj").as("e_p1"), col("obj_iri").as("e_p2")))
+      .union(eqp.select(col("obj_iri").as("e_p1"), col("subj").as("e_p2")))
+      .distinct()
+  }
+
+  /** x p1 y ∧ (p1 → p2) ⇒ x p2 y, lineage nulled (derived facts have no
+    * single witness turn).
+    */
+  private def derive(facts: Dataset[Triple], edges: DataFrame): DataFrame =
+    facts.join(broadcast(edges), col("pred") === col("e_p1"))
+      .select(col("subj"), col("e_p2").as("pred"), col("obj_iri"),
+        col("obj_lexical"), col("obj_datatype"), col("obj_lang"),
+        lit(null).cast("string").as("conv_id"), lit(-1).as("turn_idx"))
 
   /** Fixpoint-expand a triple set. Returns base ∪ derived, deduplicated on
     * triple identity.
@@ -28,36 +58,34 @@ object Entailment {
   def owlEntail(triples: Dataset[Triple], maxIterations: Int = 20): Dataset[Triple] = {
     val spark = triples.sparkSession
     import spark.implicits._
-    val idCols = Triple.identityCols.map(col)
+    val antiCond = Triple.identityCols
+      .map(c => col(s"d.$c") <=> col(s"a.$c")).reduce(_ && _)
 
     var all = triples.dropDuplicates(Triple.identityCols).localCheckpoint()
+    var delta = all
+    var edges = schemaEdges(all).localCheckpoint()
     var iter = 0
-    var done = false
-    while (!done && iter < maxIterations) {
+    while (iter < maxIterations && !delta.isEmpty) {
       iter += 1
-      // schema edges: vocabulary-sized by construction → broadcast side
-      val spo = all.filter(col("pred") === SubPropertyOf && col("obj_iri").isNotNull)
-        .select(col("subj").as("e_p1"), col("obj_iri").as("e_p2"))
-      val eqp = all.filter(col("pred") === EquivalentProperty && col("obj_iri").isNotNull)
-        .select(col("subj").as("e_p1"), col("obj_iri").as("e_p2"))
-      // prp-spo1: x p1 y ∧ p1 ⊑ p2 ⇒ x p2 y ; prp-eqp1/eqp2: both directions
-      val fwd = spo.union(eqp) // pred == e_p1 ⇒ emit e_p2
-      val bwd = eqp.select(col("e_p2").as("e_p1"), col("e_p1").as("e_p2")) // pred == old e_p2 ⇒ emit e_p1
-      val edges = broadcast(fwd.union(bwd).distinct())
-      val derived = all.join(edges, col("pred") === col("e_p1"))
-        .select(col("subj"), col("e_p2").as("pred"), col("obj_iri"),
-          col("obj_lexical"), col("obj_datatype"), col("obj_lang"),
-          col("conv_id"), col("turn_idx"))
-        .as[Triple]
-      val delta = derived
-        .select(idCols: _*)
-        .except(all.select(idCols: _*))
-        .withColumn("conv_id", lit(null).cast("string"))
-        .withColumn("turn_idx", lit(-1))
+      // edges introduced by the last delta (empty on the first iteration,
+      // where delta == all and `edges` already covers everything)
+      val newEdges =
+        if (iter == 1) edges.limit(0)
+        else schemaEdges(delta).as("d")
+          .join(edges.as("a"),
+            col("d.e_p1") === col("a.e_p1") && col("d.e_p2") === col("a.e_p2"),
+            "left_anti")
+          .localCheckpoint()
+      val derived = derive(delta, edges).union(derive(all, newEdges))
+      val newDelta = derived
+        .dropDuplicates(Triple.identityCols)
+        .as("d")
+        .join(all.as("a"), antiCond, "left_anti")
         .as[Triple]
         .localCheckpoint()
-      if (delta.isEmpty) done = true
-      else all = all.union(delta).localCheckpoint()
+      all = all.union(newDelta).localCheckpoint()
+      edges = edges.union(newEdges).distinct().localCheckpoint()
+      delta = newDelta
     }
     all
   }
