@@ -50,8 +50,14 @@ object Bench {
     val total = results.map(_._2).sum + extractSecs
     val totalStr = f"$total%.3f"
     val exStr = f"$extractSecs%.3f"
-    println(
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_turns":$nTurns,"extract_triples":$triples,"extract_secs":$exStr,"triples_per_sec":$tps}""")
+    val json =
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_turns":$nTurns,"extract_triples":$triples,"extract_secs":$exStr,"triples_per_sec":$tps}"""
+    // machine-readable in two redundant ways (round-1 driver parse failed
+    // on sbt log prefixes): a fixed file, and a bare final stdout line
+    // printed after spark.stop() so no shutdown logging trails it
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), json + "\n")
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

@@ -100,4 +100,22 @@ object RegistryIndex {
 
   def fromFile(path: String): RegistryIndex =
     fromJson(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+
+  /** Registry-by-URI (the reference loads registries with
+    * `RDF::Util::File.open_file`, registry.rb:16-28, which handles file: and
+    * http(s): alike). `file:` URIs and bare paths read locally; remote
+    * schemes go through java.net.URL so an egress-enabled deployment works
+    * unchanged. Load once on the driver, then broadcast (ExtractPipeline).
+    */
+  def fromUri(uri: String): RegistryIndex = {
+    val u = java.net.URI.create(uri)
+    u.getScheme match {
+      case null => fromFile(uri)
+      case "file" => fromFile(java.nio.file.Paths.get(u).toString)
+      case _ =>
+        val in = u.toURL.openStream()
+        try fromJson(new String(in.readAllBytes(), "UTF-8"))
+        finally in.close()
+    }
+  }
 }

@@ -97,14 +97,14 @@ object ExtractPipeline {
 
   /** Materialize the graph as a partitioned table: bucketed by predicate
     * hash (pred is low-cardinality and hot — hashing spreads it) so
-    * predicate-sliced reads prune partitions.
+    * predicate-sliced reads prune partitions. Physical binding goes through
+    * the [[TableIO]] seam (parquet here; Iceberg in deployment).
     */
-  def writeGraph(triples: Dataset[Triple], outDir: String, predBuckets: Int = 16): Unit =
-    triples
-      .withColumn("pred_bucket", pmod(hash(col("pred")), lit(predBuckets)))
-      .write.mode("overwrite")
-      .partitionBy("pred_bucket")
-      .parquet(outDir)
+  def writeGraph(triples: Dataset[Triple], outDir: String, predBuckets: Int = 16,
+                 io: TableIO = TableIO.default): Unit =
+    io.write(
+      triples.withColumn("pred_bucket", pmod(hash(col("pred")), lit(predBuckets))),
+      outDir, Seq("pred_bucket"))
 
   /** N-Triples text dump (the reference CLI's sink, script/parse:23-31). */
   def toNTriples(triples: Dataset[Triple]): DataFrame = {

@@ -1,7 +1,7 @@
 package graft.spark
 
 import graft.core.RegistryIndex
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
@@ -45,7 +45,8 @@ object Resume {
     * (or with new data in the same buckets — buckets are all-or-nothing).
     */
   def writeWithResume(transcripts: DataFrame, outDir: String, nBuckets: Int = 64,
-                      registry: RegistryIndex = ExtractPipeline.defaultRegistry): Summary = {
+                      registry: RegistryIndex = ExtractPipeline.defaultRegistry,
+                      io: TableIO = TableIO.default): Summary = {
     val done = completedBuckets(outDir)
     val all = 0 until nBuckets
     val todo = all.filterNot(done)
@@ -63,15 +64,14 @@ object Resume {
     // rides along as an observed metric on the write itself — no cache of
     // the full triple set, no second pass.
     val obs = org.apache.spark.sql.Observation()
-    triples.observe(obs, count(lit(1)).as("rows"))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(outDir)
+    io.overwritePartitions(
+      triples.observe(obs, count(lit(1)).as("rows")), outDir, Seq("bucket"))
     val n = obs.get("rows").asInstanceOf[Long]
     commitBuckets(outDir, todo)
     Summary(todo, done.toSeq.sorted, n)
   }
 
-  def readGraph(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(outDir)
+  def readGraph(spark: SparkSession, outDir: String,
+                io: TableIO = TableIO.default): DataFrame =
+    io.read(spark, outDir)
 }

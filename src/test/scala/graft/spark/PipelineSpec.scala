@@ -74,6 +74,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.groupBy(t => (t.subj, t.pred, t.obj_lexical)).forall(_._2.size == 1))
   }
 
+  test("owlEntail prp-eqp2: equivalence rewrites backwards (expansion_spec.rb:92-101)") {
+    val base = Seq(
+      Triple("http://x/me", "http://foaf/name", null, "Gregg Kellogg", null, null, "c", 0),
+      Triple("http://x/name", Entailment.EquivalentProperty, "http://foaf/name", null, null, null, "c", 0)
+    ).toDS()
+    val out = Entailment.owlEntail(base).collect()
+    assert(out.exists(t => t.subj == "http://x/me" && t.pred == "http://x/name" &&
+      t.obj_lexical == "Gregg Kellogg"))
+    assert(out.length == 3) // base 2 + the one derived fact, nothing else
+  }
+
+  test("RegistryIndex.fromUri loads file: URIs identically to fromFile") {
+    val path = java.nio.file.Files.createTempFile("reg", ".json")
+    java.nio.file.Files.writeString(path,
+      """{"http://ex.org/v/": {"properties": {"extra": {"subPropertyOf": "http://ex.org/p"}}}}""")
+    val byFile = graft.core.RegistryIndex.fromFile(path.toString)
+    val byUri = graft.core.RegistryIndex.fromUri(path.toUri.toString)
+    val byBare = graft.core.RegistryIndex.fromUri(path.toString)
+    assert(byUri.find("http://ex.org/v/T").isDefined)
+    assert(byUri.find("http://ex.org/v/T") == byFile.find("http://ex.org/v/T"))
+    assert(byBare.find("http://ex.org/v/T") == byFile.find("http://ex.org/v/T"))
+  }
+
   test("owlEntail is a no-op without schema edges") {
     val base = Seq(Triple("http://x/a", "http://x/p", "http://x/b", null, null, null, "c", 0)).toDS()
     assert(Entailment.owlEntail(base).count() == 1)
