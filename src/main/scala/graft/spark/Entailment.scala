@@ -54,6 +54,13 @@ object Entailment {
 
   /** Fixpoint-expand a triple set. Returns base ∪ derived, deduplicated on
     * triple identity.
+    *
+    * The novelty anti-join never touches the whole accumulated graph: a
+    * derived triple's predicate is always a rewrite TARGET (some e_p2), so
+    * it can only collide with the target-predicate slice of the graph.
+    * `seen` holds exactly that slice (base slice + every accepted delta)
+    * and is the only thing shuffled per iteration — at corpus scale that is
+    * a small fraction of the graph.
     */
   def owlEntail(triples: Dataset[Triple], maxIterations: Int = 20): Dataset[Triple] = {
     val spark = triples.sparkSession
@@ -61,32 +68,51 @@ object Entailment {
     val antiCond = Triple.identityCols
       .map(c => col(s"d.$c") <=> col(s"a.$c")).reduce(_ && _)
 
-    var all = triples.dropDuplicates(Triple.identityCols).localCheckpoint()
-    var delta = all
-    var edges = schemaEdges(all).localCheckpoint()
+    def targetSlice(ds: Dataset[Triple], edges: DataFrame): Dataset[Triple] =
+      ds.join(broadcast(edges.select(col("e_p2")).distinct()),
+          col("pred") === col("e_p2"), "left_semi")
+        .as[Triple]
+
+    val base = triples.dropDuplicates(Triple.identityCols).localCheckpoint()
+    var result = base
+    var delta = base
+    var edges = schemaEdges(base).localCheckpoint()
+    var seen = targetSlice(base, edges).localCheckpoint()
     var iter = 0
     while (iter < maxIterations && !delta.isEmpty) {
       iter += 1
       // edges introduced by the last delta (empty on the first iteration,
-      // where delta == all and `edges` already covers everything)
+      // where delta == base and `edges` already covers everything); the
+      // rare nonEmpty case widens the target set, so `seen` is rebuilt
       val newEdges =
-        if (iter == 1) edges.limit(0)
-        else schemaEdges(delta).as("d")
-          .join(edges.as("a"),
-            col("d.e_p1") === col("a.e_p1") && col("d.e_p2") === col("a.e_p2"),
-            "left_anti")
-          .localCheckpoint()
-      val derived = derive(delta, edges).union(derive(all, newEdges))
+        if (iter == 1) None
+        else {
+          val ne = schemaEdges(delta).as("d")
+            .join(edges.as("a"),
+              col("d.e_p1") === col("a.e_p1") && col("d.e_p2") === col("a.e_p2"),
+              "left_anti")
+            .localCheckpoint()
+          if (ne.isEmpty) None else Some(ne)
+        }
+      val derived = newEdges match {
+        case None => derive(delta, edges)
+        case Some(ne) =>
+          edges = edges.union(ne).distinct().localCheckpoint()
+          seen = targetSlice(result, edges).localCheckpoint()
+          derive(delta, edges).union(derive(result, ne))
+      }
       val newDelta = derived
         .dropDuplicates(Triple.identityCols)
         .as("d")
-        .join(all.as("a"), antiCond, "left_anti")
+        .join(seen.as("a"), antiCond, "left_anti")
         .as[Triple]
         .localCheckpoint()
-      all = all.union(newDelta).localCheckpoint()
-      edges = edges.union(newEdges).distinct().localCheckpoint()
+      // accepted deltas are disjoint from everything seen, so plain unions
+      // stay duplicate-free; only `seen` needs re-materializing per round
+      seen = seen.union(newDelta).localCheckpoint()
+      result = result.union(newDelta)
       delta = newDelta
     }
-    all
+    result
   }
 }
