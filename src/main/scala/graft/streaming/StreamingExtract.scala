@@ -37,4 +37,60 @@ object StreamingExtract {
       .groupBy(window(col("ts"), "1 minute"), col("conv_id"))
       .agg(count(lit(1)).as("n_turns"))
   }
+
+  // ---- stateful sessionization (custom per-key state) ----
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                              session_end: java.sql.Timestamp, n_events: Long)
+  /** Open-session state: epoch-ms bounds + count (compact, encoder-friendly). */
+  final case class SessionState(startMs: Long, lastMs: Long, n: Long)
+
+  /** Streaming sessionization with custom per-user state
+    * (`flatMapGroupsWithState` + event-time timeout): a user's events split
+    * into sessions on > `gapMinutes` of inactivity; a session row is emitted
+    * when the NEXT event proves the gap, or when the watermark passes the
+    * open session's gap horizon (timeout). Semantics match the batch
+    * `events_sessions` lag-window query; the streaming form holds one tiny
+    * state row per active user instead of windowing history.
+    */
+  def sessionStream(events: Dataset[SessionEvent], gapMinutes: Int = 30,
+                    watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMs = gapMinutes * 60000L
+
+    def update(userId: Long, it: Iterator[SessionEvent],
+               state: GroupState[SessionState]): Iterator[SessionOut] = {
+      def close(s: SessionState) = SessionOut(userId,
+        new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs), s.n)
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close).toList
+        state.remove()
+        out.iterator
+      } else {
+        // events inside a micro-batch are unordered: sort before folding
+        val sorted = it.map(_.ts.getTime).toArray.sorted
+        var closed = List.empty[SessionOut]
+        var cur = state.getOption.orNull
+        sorted.foreach { t =>
+          cur =
+            if (cur == null) SessionState(t, t, 1)
+            else if (t - cur.lastMs > gapMs) { closed ::= close(cur); SessionState(t, t, 1) }
+            else cur.copy(lastMs = math.max(cur.lastMs, t), n = cur.n + 1)
+        }
+        if (cur != null) {
+          state.update(cur)
+          // fire when the watermark passes the open session's gap horizon
+          state.setTimeoutTimestamp(cur.lastMs + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

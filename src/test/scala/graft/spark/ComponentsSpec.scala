@@ -73,6 +73,36 @@ class ComponentsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM conv_counts").columns.contains("n_turns"))
   }
 
+  test("Streaming stateful sessionization closes sessions on gap proof and watermark timeout") {
+    import graft.streaming.StreamingExtract.{SessionEvent, sessionStream}
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = Files.createTempDirectory("graftsess").toString
+    // batch 1: u1 has two sessions (85-min gap), u2 one event
+    Seq(SessionEvent(1L, ts("2026-01-01 10:00:00")), SessionEvent(1L, ts("2026-01-01 10:05:00")),
+        SessionEvent(1L, ts("2026-01-01 11:30:00")), SessionEvent(2L, ts("2026-01-01 10:02:00")))
+      .toDS().coalesce(1).write.parquet(s"$dir/b1")
+    // batches 2+3: far-future events push the watermark past every gap horizon
+    Seq(SessionEvent(9L, ts("2026-01-01 20:00:00"))).toDS().coalesce(1).write.parquet(s"$dir/b2")
+    Seq(SessionEvent(9L, ts("2026-01-01 23:00:00"))).toDS().coalesce(1).write.parquet(s"$dir/b3")
+
+    val src = spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[SessionEvent]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+      .as[SessionEvent]
+    val q = sessionStream(src, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT user_id, session_start, session_end, n_events FROM sessions_out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3))).toSet
+    // u1's first session closed by gap proof inside batch 1; u1's second and
+    // u2's session closed by event-time timeout once the watermark passed
+    assert(out.contains((1L, "2026-01-01 10:00:00.0", "2026-01-01 10:05:00.0", 2L)))
+    assert(out.contains((1L, "2026-01-01 11:30:00.0", "2026-01-01 11:30:00.0", 1L)))
+    assert(out.contains((2L, "2026-01-01 10:02:00.0", "2026-01-01 10:02:00.0", 1L)))
+  }
+
   test("ConnectedComponents: chain graph converges to one component") {
     val edges = (1 to 9).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
     val cc = ConnectedComponents.run(edges).collect()
