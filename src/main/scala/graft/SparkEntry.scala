@@ -195,6 +195,23 @@ object SparkEntry {
       TextOps.exactDupGroups(table(s, dir, "documents"))
         .orderBy(col("text_md5"))),
 
+    // custom bounded TypedImperativeAggregate: per-language top-3 docs by
+    // quality score with O(k) reducer memory (a collect_list+sort would
+    // buffer whole groups)
+    "doc_top_quality" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val q = TextOps.qualityScore(docs).select(col("doc_id"), col("token_density"))
+      val l = TextOps.langId(docs).select(col("doc_id"), col("lang_guess"))
+      q.join(l, "doc_id")
+        .groupBy(col("lang_guess"))
+        .agg(graft.functions.TopKByScore(
+          col("token_density"), col("doc_id").cast("string"), 3).as("top"))
+        .select(col("lang_guess"), posexplode(col("top")))
+        .select(col("lang_guess"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.payload").as("doc_id"), col("col.score").as("token_density"))
+        .orderBy(col("lang_guess"), col("rank"))
+    }),
+
     "doc_jaccard_pairs" -> ((s, dir) =>
       TextOps.jaccardPairs(table(s, dir, "documents"), k = 3, threshold = 0.3)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -236,6 +253,16 @@ object SparkEntry {
     "sim_lsh_recall" -> ((s, dir) =>
       VectorOps.lshRecall(table(s, dir, "embeddings"),
         nBits = 8, nTables = 4, threshold = 0.9)),
+
+    // embedding-cosine near-dup DEDUP decision over the planted corpus:
+    // LSH candidates → exact verify → connected components → keep-min
+    "sim_near_dup_groups" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id").cast("string").as("vec_id"), col("embedding"))
+        .unionByName(VectorOps.perturbed(e, eps = 0.05, seed = 999983, idSuffix = "_p"))
+      VectorOps.nearDupGroups(corpus, nBits = 8, nTables = 4, threshold = 0.9)
+        .orderBy(col("vec_id"))
+    }),
 
     // multimodal plumbing: binary payload column → decoded metadata; the
     // oracle reconstructs the expected header fields arithmetically, so the
@@ -380,6 +407,24 @@ object SparkEntry {
           |  ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / GREATEST(len(string_split(text, ' ')), 1), 4) AS distinct_ratio
           |FROM documents ORDER BY doc_id""".stripMargin,
 
+      "doc_top_quality" ->
+        """WITH s AS (
+          |  SELECT doc_id,
+          |    len(list_filter(string_split(lower(text), ' '), x -> list_contains(['the','and','is','of'], x))) AS s_en,
+          |    len(list_filter(string_split(lower(text), ' '), x -> list_contains(['der','und','ist','das'], x))) AS s_de,
+          |    len(list_filter(string_split(lower(text), ' '), x -> list_contains(['le','et','est','les'], x))) AS s_fr,
+          |    len(list_filter(string_split(lower(text), ' '), x -> list_contains(['el','y','es','los'], x))) AS s_es
+          |  FROM documents),
+          |l AS (SELECT doc_id,
+          |  CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+          |       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+          |       WHEN s_en >= s_de THEN 'en' ELSE 'de' END AS lang_guess FROM s),
+          |q AS (SELECT doc_id, ROUND(CAST(len(string_split(text, ' ')) AS DOUBLE) / GREATEST(length(text), 1), 4) AS token_density FROM documents),
+          |r AS (SELECT l.lang_guess, CAST(q.doc_id AS VARCHAR) AS doc_id, q.token_density,
+          |        row_number() OVER (PARTITION BY l.lang_guess ORDER BY q.token_density DESC, CAST(q.doc_id AS VARCHAR)) AS rank
+          |      FROM q JOIN l USING (doc_id))
+          |SELECT lang_guess, rank, doc_id, token_density FROM r WHERE rank <= 3 ORDER BY lang_guess, rank""".stripMargin,
+
       "doc_langid" ->
         """WITH s AS (
           |  SELECT doc_id,
@@ -498,6 +543,29 @@ object SparkEntry {
            |ls AS (SELECT COUNT(*) AS n_lsh FROM cand JOIN ed a ON a.vec_id = cand.vec_a JOIN ed b ON b.vec_id = cand.vec_b
            |       WHERE list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.9)
            |SELECT n_exact, n_lsh, ROUND(CAST(n_lsh AS DOUBLE) / n_exact, 4) AS recall FROM ex, ls""".stripMargin,
+
+      "sim_near_dup_groups" ->
+        s"""WITH RECURSIVE corpus AS (
+           |  SELECT CAST(vec_id AS VARCHAR) AS vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT CAST(vec_id AS VARCHAR) || '_p',
+           |    list_transform(range(1, len(embedding)+1),
+           |      gi -> CAST(CAST(embedding[gi] AS DOUBLE) * (1.0 + 0.05 * (${planeSql("999983", "gi-1")})) AS FLOAT))
+           |  FROM embeddings),
+           |ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM corpus),
+           |tb AS (SELECT vec_id, t, ${lshBucketSql("embedding", "t", 8)} AS bucket
+           |       FROM corpus, range(0, 4) r(t)),
+           |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+           |         FROM tb x JOIN tb y ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+           |p AS (SELECT vec_a, vec_b FROM cand JOIN ed a ON a.vec_id = cand.vec_a JOIN ed b ON b.vec_id = cand.vec_b
+           |      WHERE list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.9),
+           |edg AS (SELECT vec_a AS a, vec_b AS b FROM p UNION ALL SELECT vec_b, vec_a FROM p),
+           |nodes AS (SELECT DISTINCT a AS node FROM edg),
+           |reach(node, lbl) AS (
+           |  SELECT node, node FROM nodes
+           |  UNION
+           |  SELECT e.b, r.lbl FROM reach r JOIN edg e ON e.a = r.node)
+           |SELECT node AS vec_id, MIN(lbl) AS keep_id FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
 
       "mm_media_meta" ->
         """SELECT id AS media_id,

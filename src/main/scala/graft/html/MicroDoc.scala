@@ -151,6 +151,16 @@ object MicroDoc {
 
   private val RawText = Set("script", "style")
 
+  /** ASCII-lowercase only when needed — markup is almost always already
+    * lowercase, and this runs per tag and attribute name.
+    */
+  private def lowerAscii(str: String): String = {
+    var k = 0
+    val m = str.length
+    while (k < m && { val ch = str.charAt(k); ch < 'A' || ch > 'Z' }) k += 1
+    if (k == m) str else str.toLowerCase
+  }
+
   def parse(html: String): Doc = {
     val root = new Elem("#root")
     val stack = mutable.ArrayBuffer[Elem](root)
@@ -160,12 +170,12 @@ object MicroDoc {
     lazy val lower = s.toLowerCase
     val n = s.length
     var i = 0
-    val text = new StringBuilder
+    val text = new java.lang.StringBuilder
 
     def flushText(): Unit = {
-      if (text.nonEmpty) {
-        stack.last.children += Text(decodeEntities(text.result()))
-        text.clear()
+      if (text.length > 0) {
+        stack.last.children += Text(decodeEntities(text.toString))
+        text.setLength(0)
       }
     }
     def openElem(e: Elem): Unit = {
@@ -177,8 +187,15 @@ object MicroDoc {
 
     while (i < n) {
       val c = s.charAt(i)
-      if (c != '<') { text += c; i += 1 }
-      else if (i + 1 >= n) { text += c; i += 1 }
+      if (c != '<') {
+        // append the whole text run in one go (the common case: most of a
+        // transcript turn is prose, not markup)
+        var lt = s.indexOf('<', i)
+        if (lt < 0) lt = n
+        text.append(s, i, lt)
+        i = lt
+      }
+      else if (i + 1 >= n) { text.append(c); i += 1 }
       else {
         val c1 = s.charAt(i + 1)
         if (c1 == '!') {
@@ -199,7 +216,7 @@ object MicroDoc {
           var j = i + 2
           val t0 = j
           while (j < n && s.charAt(j) != '>') j += 1
-          val name = s.substring(t0, j).trim.toLowerCase
+          val name = lowerAscii(s.substring(t0, j).trim)
           // pop to matching open tag; ignore if not on stack
           val at = stack.lastIndexWhere(_.tag == name)
           if (at > 0) stack.takeInPlace(at)
@@ -209,7 +226,7 @@ object MicroDoc {
           var j = i + 1
           val t0 = j
           while (j < n && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '-')) j += 1
-          val tag = s.substring(t0, j).toLowerCase
+          val tag = lowerAscii(s.substring(t0, j))
           val e = new Elem(tag)
           var selfClose = false
           // attributes
@@ -226,7 +243,7 @@ object MicroDoc {
                 val a0 = j
                 while (j < n && !s.charAt(j).isWhitespace &&
                        s.charAt(j) != '=' && s.charAt(j) != '>' && s.charAt(j) != '/') j += 1
-                val aname = s.substring(a0, j).toLowerCase
+                val aname = lowerAscii(s.substring(a0, j))
                 while (j < n && s.charAt(j).isWhitespace) j += 1
                 var avalue = ""
                 if (j < n && s.charAt(j) == '=') {
@@ -267,7 +284,7 @@ object MicroDoc {
             } else stack += e
           }
           i = j
-        } else { text += c; i += 1 }
+        } else { text.append(c); i += 1 }
       }
     }
     flushText()

@@ -139,6 +139,23 @@ object VectorOps {
         (x.cast("double") * (lit(1.0) + lit(eps) * PortableHash.plane(lit(seed), i)))
           .cast("float")).as("embedding"))
 
+  /** Embedding-cosine near-duplicate DEDUP decision: LSH candidate pairs →
+    * exact-cosine verify ≥ threshold → connected components over the
+    * verified pairs (transitive duplicates merge) → each group keeps its
+    * least vec_id. Returns (vec_id, keep_id) for every vector that belongs
+    * to some near-dup group; rows with vec_id != keep_id are the drop list.
+    * Node ids are compared as strings (CC's label domain), both here and in
+    * the oracle.
+    */
+  def nearDupGroups(embs: DataFrame, nBits: Int, nTables: Int,
+                    threshold: Double): DataFrame = {
+    val pairs = lshBucketedPairs(embs, nBits, nTables, threshold)
+    val edges = pairs.select(col("vec_a").cast("string").as("src"),
+      col("vec_b").cast("string").as("dst"))
+    graft.spark.ConnectedComponents.run(edges)
+      .select(col("node").as("vec_id"), col("component").as("keep_id"))
+  }
+
   /** LSH recall report vs the exact blocked path on a planted-near-dup
     * corpus: one row (n_exact, n_lsh, recall). LSH output is a subset of
     * the exact output by construction (same threshold, same cosine), so
