@@ -254,6 +254,12 @@ object SparkEntry {
       VectorOps.lshRecall(table(s, dir, "embeddings"),
         nBits = 8, nTables = 4, threshold = 0.9)),
 
+    // IVF-style ANN: broadcast coarse-quantizer assignment + cell equi-join
+    "sim_ivf_topk" -> ((s, dir) =>
+      VectorOps.ivfTopK(table(s, dir, "embeddings"), m = 16, nProbe = 2, k = 5)
+        .select(col("vec_a"), col("vec_b"), col("cos_sim"), col("rank").cast("long").as("rank"))
+        .orderBy(col("vec_a"), col("rank"))),
+
     // embedding-cosine near-dup DEDUP decision over the planted corpus:
     // LSH candidates → exact verify → connected components → keep-min
     "sim_near_dup_groups" -> ((s, dir) => {
@@ -543,6 +549,22 @@ object SparkEntry {
            |ls AS (SELECT COUNT(*) AS n_lsh FROM cand JOIN ed a ON a.vec_id = cand.vec_a JOIN ed b ON b.vec_id = cand.vec_b
            |       WHERE list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.9)
            |SELECT n_exact, n_lsh, ROUND(CAST(n_lsh AS DOUBLE) / n_exact, 4) AS recall FROM ex, ls""".stripMargin,
+
+      "sim_ivf_topk" ->
+        """WITH ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          |cents AS (SELECT vec_id AS c_id, emb AS c_emb FROM ed ORDER BY vec_id LIMIT 16),
+          |cscore AS (SELECT e.vec_id, c.c_id,
+          |    list_dot_product(e.emb, c.c_emb) / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) AS c_cos
+          |  FROM ed e, cents c),
+          |ranked AS (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS pr FROM cscore),
+          |qassign AS (SELECT vec_id, c_id AS cell FROM ranked WHERE pr <= 2),
+          |cassign AS (SELECT vec_id, c_id AS cell FROM ranked WHERE pr <= 1),
+          |pairs AS (SELECT q.vec_id AS vec_a, c.vec_id AS vec_b FROM qassign q JOIN cassign c ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+          |sc AS (SELECT vec_a, vec_b,
+          |    list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+          |  FROM pairs JOIN ed a ON a.vec_id = vec_a JOIN ed b ON b.vec_id = vec_b),
+          |r AS (SELECT vec_a, vec_b, cos, row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b) AS rank FROM sc)
+          |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos_sim, rank FROM r WHERE rank <= 5 ORDER BY vec_a, rank""".stripMargin,
 
       "sim_near_dup_groups" ->
         s"""WITH RECURSIVE corpus AS (

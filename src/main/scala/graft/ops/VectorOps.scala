@@ -139,6 +139,58 @@ object VectorOps {
         (x.cast("double") * (lit(1.0) + lit(eps) * PortableHash.plane(lit(seed), i)))
           .cast("float")).as("embedding"))
 
+  // ---------- IVF-style ANN (coarse quantizer + cell equi-join) ----------
+
+  /** Coarse-quantizer centroids: the `m` vectors with the smallest ids — a
+    * deterministic, trainless stand-in (the test corpus is isotropic noise,
+    * so Lloyd iterations would not converge to anything better). Swap in
+    * k-means-trained centroids at deployment; every downstream plan shape
+    * (broadcast cross-score, cell equi-join) is unchanged.
+    */
+  def ivfCentroids(embs: DataFrame, m: Int): DataFrame =
+    withNorm(embs).orderBy(col("vec_id")).limit(m)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+
+  /** Assign every vector to its `nProbe` nearest centroids by cosine
+    * (ties broken on centroid id): an n×m broadcast score + a per-vector
+    * top-nProbe window — m is small by design (√n cells at scale), so the
+    * window partitions are m rows each.
+    */
+  def ivfAssign(embs: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+    withNorm(embs).crossJoin(broadcast(centroids))
+      .withColumn("c_cos", cosSim(col("embedding"), col("nrm"), col("c_emb"), col("c_nrm")))
+      .withColumn("probe", row_number().over(w))
+      .filter(col("probe") <= nProbe)
+      .select(col("vec_id"), col("c_id").as("cell"))
+  }
+
+  /** IVF approximate top-k: candidates are indexed under their single
+    * nearest cell; queries probe their `nProbe` nearest cells; pairs meet
+    * in a cell equi-join and are ranked by exact cosine. Approximate (a
+    * true neighbor outside the probed cells is missed) — the oracle
+    * replicates the algorithm, and recall is measured in the spec against
+    * the planted-near-dup corpus.
+    */
+  def ivfTopK(embs: DataFrame, m: Int, nProbe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = ivfCentroids(embs, m)
+    val e = withNorm(embs)
+    val queries = ivfAssign(embs, cents, nProbe)
+    val cands = ivfAssign(embs, cents, 1)
+    val pairs = queries.as("q").join(cands.as("c"),
+        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("vec_a"), col("c.vec_id").as("vec_b"))
+    val scored = pairs
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), cosSim(col("ea"), col("na"), col("eb"), col("nb")).as("cos"))
+    val w = Window.partitionBy(col("vec_a")).orderBy(col("cos").desc, col("vec_b"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate DEDUP decision: LSH candidate pairs →
     * exact-cosine verify ≥ threshold → connected components over the
     * verified pairs (transitive duplicates merge) → each group keeps its
