@@ -13,7 +13,8 @@ object Plans {
     val spark = GraftSession.local(4)
     val names = Seq("kg_types", "kg_entail", "kg_link_components",
       "q1_pricing", "q3_top_orders", "doc_jaccard_pairs", "sim_cosine_pairs",
-      "sim_topk", "sim_lsh_pairs", "doc_minhash_pairs", "doc_token_stats")
+      "sim_topk", "sim_lsh_pairs", "sim_ivf_topk", "doc_minhash_pairs",
+      "doc_simhash_pairs", "doc_top_quality", "doc_token_stats")
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plan evidence (explain formatted)\n\n"
     sb ++= "Regenerate with `sbt \"runMain graft.Plans\"`. Things to check per plan:\n"

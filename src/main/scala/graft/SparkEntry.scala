@@ -232,6 +232,11 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(table(s, dir, "documents")).orderBy(col("doc_id"))),
 
+    // SimHash near-dup pairs: pigeonhole-banded equi-join + exact popcount
+    "doc_simhash_pairs" -> ((s, dir) =>
+      TextOps.simhashPairs(table(s, dir, "documents"), maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // ---- similarity search over embeddings ----
     "sim_cosine_pairs" -> ((s, dir) =>
       VectorOps.cosinePairs(table(s, dir, "embeddings"), threshold = 0.4)
@@ -504,6 +509,26 @@ object SparkEntry {
            |j AS (SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
            |      FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b)
            |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
+      },
+
+      "doc_simhash_pairs" -> {
+        val votes = (0 until graft.ops.TextOps.SimhashBits)
+          .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i").mkString(", ")
+        val pack = (0 until graft.ops.TextOps.SimhashBits)
+          .map(i => s"(CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+        val bands = graft.ops.TextOps.simhashBands(3).zipWithIndex.map { case ((off, w), b) =>
+          s"SELECT doc_id, simhash, $b AS band, (simhash >> $off) & ${(1L << w) - 1} AS chunk FROM sh"
+        }.mkString(" UNION ALL ")
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+           |h AS (SELECT doc_id, ${tokenHash62Sql("t")} AS h FROM tok),
+           |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+           |sh AS (SELECT doc_id, $pack AS simhash FROM v),
+           |banded AS ($bands)
+           |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+           |FROM banded x JOIN banded y ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+           |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin
       },
 
       "kg_ntriples" ->

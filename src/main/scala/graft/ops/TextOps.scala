@@ -189,6 +189,42 @@ object TextOps {
     verifyJaccard(inter, sizes, threshold)
   }
 
+  /** SimHash band layout for Hamming-distance blocking: `maxHamming + 1`
+    * near-equal chunks of the 62-bit hash. Pigeonhole: two hashes within
+    * Hamming distance d must agree EXACTLY on at least one of d+1 disjoint
+    * bands — so the candidate join is an equi-join on (band, chunk), never
+    * all-pairs (Manku et al., WWW'07 near-duplicate detection).
+    */
+  def simhashBands(maxHamming: Int): Seq[(Int, Int)] = {
+    val nBands = maxHamming + 1
+    val base = SimhashBits / nBands
+    val extra = SimhashBits % nBands
+    val widths = Seq.tabulate(nBands)(b => base + (if (b < extra) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths).take(nBands) // (offset, width)
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming: banded
+    * equi-join candidates, verified with an exact popcount on the XOR.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val bandCols = simhashBands(maxHamming).zipWithIndex.map { case ((off, w), b) =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1)).as("chunk")).as(s"b$b")
+    }
+    val banded = sh.select(col("doc_id") +: col("simhash") +: bandCols: _*)
+      .select(col("doc_id"), col("simhash"),
+        explode(array(bandCols.indices.map(b => col(s"b$b")): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash (62-bit) per document: per-token portable hash bits weighted
     * ±1, sign-aggregated. Near-dups have small Hamming distance.
     *

@@ -152,18 +152,27 @@ object VectorOps {
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
 
   /** Assign every vector to its `nProbe` nearest centroids by cosine
-    * (ties broken on centroid id): an n×m broadcast score + a per-vector
-    * top-nProbe window — m is small by design (√n cells at scale), so the
-    * window partitions are m rows each.
+    * (ties broken on centroid id). The centroid set is a MODEL, not data —
+    * m entries by construction (√n cells at scale still fits any driver) —
+    * so it folds into a literal array column: scoring + top-nProbe happen
+    * inside one codegen'd projection per row. No join, no shuffle, no
+    * window — the assignment stage is embarrassingly parallel.
     */
   def ivfAssign(embs: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
-    withNorm(embs).crossJoin(broadcast(centroids))
-      .withColumn("c_cos", cosSim(col("embedding"), col("nrm"), col("c_emb"), col("c_nrm")))
-      .withColumn("probe", row_number().over(w))
-      .filter(col("probe") <= nProbe)
-      .select(col("vec_id"), col("c_id").as("cell"))
+    val cents = centroids.collect() // m model rows, like loading any ANN index
+    val centArr = array(cents.map { r =>
+      struct(lit(r.get(0)).as("c_id"),
+        typedlit(r.getSeq[Float](1)).as("c_emb"),
+        lit(r.getDouble(2)).as("c_nrm"))
+    }.toIndexedSeq: _*)
+    // struct(-cos, c_id) sorted ascending == (cos desc, c_id asc)
+    val scored = transform(centArr, c => struct(
+      (-(dot(col("embedding"), c.getField("c_emb")) /
+        (col("nrm") * c.getField("c_nrm")))).as("negcos"),
+      c.getField("c_id").as("cell")))
+    withNorm(embs)
+      .withColumn("probe", explode(slice(sort_array(scored), 1, nProbe)))
+      .select(col("vec_id"), col("probe.cell").as("cell"))
   }
 
   /** IVF approximate top-k: candidates are indexed under their single
