@@ -36,6 +36,9 @@ object PortableHash {
   val BandMult = 1000003L
 
   // ---------- char fold: h = (h*mult + codepoint) mod p ----------
+  // Contract: identical across engines for all BMP text (Spark folds UTF-16
+  // units, DuckDB folds codepoints — these agree except for astral-plane
+  // characters, which the token pre-split also never produces here).
 
   def charFold(s: Column, mult: Long, p: Long): Column =
     aggregate(split(s, ""), lit(0L), (acc, c) => pmod(acc * mult + ascii(c), lit(p)))

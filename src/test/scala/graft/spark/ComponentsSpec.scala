@@ -45,6 +45,25 @@ class ComponentsSpec extends AnyFunSuite {
     assert(Resume.readGraph(spark, out).count() == full)
   }
 
+  test("N-Triples sink/source round-trips the canonical graph exactly") {
+    val dir = Files.createTempDirectory("graftnt").toString
+    val t = Transcripts.synthetic(spark, 300, 15)
+    val triples = ExtractPipeline.canonicalize(ExtractPipeline.extract(t))
+    graft.sources.NTriplesIO.write(triples, dir)
+    val errs = spark.sparkContext.longAccumulator("nt_errs")
+    val back = graft.sources.NTriplesIO.read(spark, dir, errs)
+    def key(d: org.apache.spark.sql.Dataset[graft.model.Triple]) =
+      d.collect().map(x => (x.subj, x.pred, x.obj_iri, x.obj_lexical, x.obj_datatype, x.obj_lang)).toSet
+    assert(key(back) == key(triples))
+    assert(errs.value == 0)
+    // malformed lines are soft errors, not task failures
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part-junk.txt"), "not a triple\n# comment\n\n")
+    val errs2 = spark.sparkContext.longAccumulator("nt_errs2")
+    assert(key(graft.sources.NTriplesIO.read(spark, dir, errs2)) == key(triples))
+    assert(errs2.value == 1)
+  }
+
   test("Streaming extraction matches batch extraction") {
     val dir = Files.createTempDirectory("graftstream").toString
     val t = Transcripts.synthetic(spark, 200, 10)
