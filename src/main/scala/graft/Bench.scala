@@ -32,6 +32,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus)
 
+    // steady-state warmup (flagship pipeline on sf0.001): JIT + codegen for
+    // the operator surface, so the first measured query doesn't absorb
+    // session warmup (round-1 bench charged ~4s of it to doc_exact_dups)
+    try SparkEntry.entry(spark).count()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, secs) = timeIt {
         try fn(spark, sfDir).count()

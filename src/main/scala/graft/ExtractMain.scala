@@ -31,7 +31,7 @@ object ExtractMain {
     }
     spark.sparkContext.setLogLevel("WARN")
 
-    val registry = opts.get("registry").map(RegistryIndex.fromFile)
+    val registry = opts.get("registry").map(RegistryIndex.fromUri)
       .getOrElse(ExtractPipeline.defaultRegistry)
     val transcripts = spark.read.parquet(opts("input"))
     val errors = spark.sparkContext.longAccumulator("extract_errors")
@@ -44,11 +44,13 @@ object ExtractMain {
             opts.getOrElse("base-prefix", null), errors))
         val expanded =
           if (opts.contains("entail")) Entailment.owlEntail(triples) else triples
-        val nt = ExtractPipeline.toNTriples(expanded).cache()
-        val n = nt.count()
-        nt.write.mode("overwrite").text(opts("output"))
-        nt.unpersist()
-        n
+        // count rides the write as an observed metric — no cache, no re-scan
+        val obs = org.apache.spark.sql.Observation()
+        ExtractPipeline.toNTriples(expanded)
+          .observe(obs, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("rows"))
+          .write.mode("overwrite").text(opts("output"))
+        obs.get("rows").asInstanceOf[Long]
       } else {
         val summary = Resume.writeWithResume(transcripts, opts("output"),
           opts.getOrElse("buckets", "256").toInt, registry)

@@ -127,13 +127,18 @@ object TextOps {
   /** Shingles minus those appearing in more than maxDf documents (the df
     * filter is one partial-agg groupBy on the shingle key + a semi-join
     * back — both shuffles are on the same key, so AQE coalesces them).
+    *
+    * The result is materialized (localCheckpoint): every consumer (pair
+    * join sides, per-doc sizes, signature minima) would otherwise re-run
+    * the tokenize→explode→df-filter pipeline — recomputing the most
+    * expensive projection in the dedup family 3-5 times.
     */
   def cappedShingles(docs: DataFrame, k: Int, maxDf: Long): DataFrame = {
-    val sh = shingles(docs, k)
+    val sh = shingles(docs, k).localCheckpoint()
     val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("shingle"))
-    sh.join(rare, Seq("shingle"), "left_semi")
+    sh.join(rare, Seq("shingle"), "left_semi").localCheckpoint()
   }
 
   /** |A∩B|/(|A|+|B|−|A∩B|) ≥ threshold from intersection counts + sizes. */
