@@ -216,6 +216,12 @@ object SparkEntry {
       TextOps.jaccardPairs(table(s, dir, "documents"), k = 3, threshold = 0.3)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // text near-dup DEDUP decision: minhash pairs → CC → keep-min
+    "doc_dedup_groups" -> ((s, dir) =>
+      TextOps.nearDupGroups(table(s, dir, "documents"), k = 3,
+          numHashes = 32, bands = 16, threshold = 0.3)
+        .orderBy(col("doc_id"))),
+
     "kg_ntriples" -> ((s, dir) =>
       ExtractPipeline.toNTriples(customerTriples(s, dir)).orderBy(col("value"))),
 
@@ -291,6 +297,37 @@ object SparkEntry {
     * reproduce the hashes bit-for-bit; several oracle bodies below are
     * machine-generated from the same constants the Spark expressions use).
     */
+  /** Shared oracle CTE chain reproducing the MinHash+LSH candidate/verify
+    * pipeline (k=3, 32 hashes, 16 bands, df cap 1000): ends at `j`
+    * (doc_a, doc_b, jaccard). Built from the same PortableHash constants
+    * the Spark expressions use.
+    */
+  private def minhashCtes: String = {
+    import graft.ops.PortableHash._
+    val numHashes = 32; val bands = 16; val rows = numHashes / bands
+    val mins = (0 until numHashes)
+      .map(i => s"MIN(${permutedSql("h0", i)}) AS h$i").mkString(", ")
+    val banded = (0 until bands).map { b =>
+      val fold = bandFoldSql((b * rows until (b + 1) * rows).map(i => s"h$i"))
+      s"SELECT doc_id, $b AS band, $fold AS bsig FROM sg"
+    }.mkString(" UNION ALL ")
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle FROM toks),
+       |dfc AS (SELECT shingle, COUNT(*) AS c FROM sh0 GROUP BY 1),
+       |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN dfc USING (shingle) WHERE dfc.c <= 1000),
+       |h0t AS (SELECT doc_id, shingle, ${tokenHash31Sql("shingle")} AS h0 FROM sh),
+       |sg AS (SELECT doc_id, $mins FROM h0t GROUP BY doc_id),
+       |banded AS ($banded),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM banded x JOIN banded y ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i FROM cand c
+       |          JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |          GROUP BY 1, 2),
+       |j AS (SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
+       |      FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = {
     import graft.ops.PortableHash._
     val custMarkup =
@@ -485,31 +522,21 @@ object SparkEntry {
            |SELECT doc_id, $pack AS simhash FROM v ORDER BY doc_id""".stripMargin
       },
 
-      "doc_minhash_pairs" -> {
-        val numHashes = 32; val bands = 16; val rows = numHashes / bands
-        val mins = (0 until numHashes)
-          .map(i => s"MIN(${permutedSql("h0", i)}) AS h$i").mkString(", ")
-        val banded = (0 until bands).map { b =>
-          val fold = bandFoldSql((b * rows until (b + 1) * rows).map(i => s"h$i"))
-          s"SELECT doc_id, $b AS band, $fold AS bsig FROM sg"
-        }.mkString(" UNION ALL ")
-        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-           |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle FROM toks),
-           |dfc AS (SELECT shingle, COUNT(*) AS c FROM sh0 GROUP BY 1),
-           |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN dfc USING (shingle) WHERE dfc.c <= 1000),
-           |h0t AS (SELECT doc_id, shingle, ${tokenHash31Sql("shingle")} AS h0 FROM sh),
-           |sg AS (SELECT doc_id, $mins FROM h0t GROUP BY doc_id),
-           |banded AS ($banded),
-           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-           |         FROM banded x JOIN banded y ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
-           |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-           |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i FROM cand c
-           |          JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-           |          GROUP BY 1, 2),
-           |j AS (SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
-           |      FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b)
-           |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
-      },
+      "doc_minhash_pairs" ->
+        s"""WITH $minhashCtes
+           |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+
+      "doc_dedup_groups" ->
+        s"""WITH RECURSIVE $minhashCtes,
+           |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.3),
+           |edg AS (SELECT CAST(doc_a AS VARCHAR) AS a, CAST(doc_b AS VARCHAR) AS b FROM p
+           |        UNION ALL SELECT CAST(doc_b AS VARCHAR), CAST(doc_a AS VARCHAR) FROM p),
+           |nodes AS (SELECT DISTINCT a AS node FROM edg),
+           |reach(node, lbl) AS (
+           |  SELECT node, node FROM nodes
+           |  UNION
+           |  SELECT e.b, r.lbl FROM reach r JOIN edg e ON e.a = r.node)
+           |SELECT node AS doc_id, MIN(lbl) AS keep_id FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
       "doc_simhash_pairs" -> {
         val votes = (0 until graft.ops.TextOps.SimhashBits)

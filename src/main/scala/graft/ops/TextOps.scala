@@ -194,6 +194,22 @@ object TextOps {
     verifyJaccard(inter, sizes, threshold)
   }
 
+  /** Text near-duplicate DEDUP decision: MinHash+LSH candidate pairs
+    * (exact-Jaccard verified ≥ threshold) → connected components (transitive
+    * duplicates merge) → each group keeps its least doc_id. Returns
+    * (doc_id, keep_id) for every document in some near-dup group; rows with
+    * doc_id != keep_id are the drop list. Ids compare as strings (CC's
+    * label domain), both here and in the oracle.
+    */
+  def nearDupGroups(docs: DataFrame, k: Int, numHashes: Int, bands: Int,
+                    threshold: Double, maxDf: Long = 1000L): DataFrame = {
+    val pairs = minhashLshPairs(docs, k, numHashes, bands, threshold, maxDf)
+    val edges = pairs.select(col("doc_a").cast("string").as("src"),
+      col("doc_b").cast("string").as("dst"))
+    graft.spark.ConnectedComponents.run(edges)
+      .select(col("node").as("doc_id"), col("component").as("keep_id"))
+  }
+
   /** SimHash band layout for Hamming-distance blocking: `maxHamming + 1`
     * near-equal chunks of the 62-bit hash. Pigeonhole: two hashes within
     * Hamming distance d must agree EXACTLY on at least one of d+1 disjoint
