@@ -78,6 +78,37 @@ object MultimodalOps {
     }
   }
 
+  /** Resize: image payloads whose decoded dims exceed `maxDim` are scaled
+    * (aspect preserved) — header rewritten with the new dims, body
+    * stride-resampled deterministically. The sampling stands in for the
+    * codec's resampler (same stub boundary as fakeDecode); the batching,
+    * schema preservation, and payload rewrite are the real scale mechanics:
+    * output rows stay MediaRow, so the resized corpus feeds every
+    * downstream op unchanged.
+    */
+  def resize(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(256).flatMap(_.iterator.map { r =>
+        val m = fakeDecode(r)
+        if (r.kind != "image" || (m.width <= maxDim && m.height <= maxDim)) r
+        else {
+          val scale = maxDim.toDouble / math.max(m.width, m.height)
+          val w = math.max((m.width * scale).toInt, 1)
+          val h = math.max((m.height * scale).toInt, 1)
+          val body = r.payload.drop(16)
+          val stride = math.max(body.length * 1.0 / math.max((body.length * scale).toInt, 1), 1.0)
+          val sampled = Array.tabulate(math.max((body.length * scale).toInt, 1)) {
+            i => body(math.min((i * stride).toInt, body.length - 1))
+          }
+          val header = java.nio.ByteBuffer.allocate(16)
+            .putInt(w).putInt(h).putInt(m.duration_ms).putInt(0).array()
+          MediaRow(r.media_id, r.kind, header ++ sampled)
+        }
+      })
+    }
+  }
+
   /** Frame sampling stub for video rows: every `everyMs` of the (fake)
     * duration yields one frame row — explode-shaped output, so downstream
     * per-frame ops parallelize row-wise.

@@ -165,5 +165,19 @@ class ComponentsSpec extends AnyFunSuite {
     val frames = MultimodalOps.sampleFrames(media, everyMs = 10000)
     assert(frames.count() > 0)
     assert(frames.filter($"frame_idx" < 0).count() == 0)
+
+    // resize: bounded dims, aspect preserved, schema unchanged, deterministic
+    val resized = MultimodalOps.resize(media, maxDim = 100)
+    val rmeta = MultimodalOps.decodeMeta(resized).collect()
+    assert(rmeta.forall(m => m.kind != "image" || (m.width <= 100 && m.height <= 100)))
+    val before = meta.filter(m => m.kind == "image" && m.width > 100).map(m => m.media_id -> m).toMap
+    rmeta.filter(m => before.contains(m.media_id)).foreach { m =>
+      val b = before(m.media_id)
+      val ratioB = b.width.toDouble / b.height
+      val ratioA = m.width.toDouble / m.height
+      assert(math.abs(ratioA - ratioB) / ratioB < 0.1, s"aspect drift: $b -> $m")
+    }
+    val r2 = MultimodalOps.resize(media, maxDim = 100).collect().map(_.payload.toSeq)
+    assert(resized.collect().map(_.payload.toSeq).toSeq == r2.toSeq)
   }
 }
