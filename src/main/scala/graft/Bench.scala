@@ -61,7 +61,11 @@ object Bench {
     // machine-readable in two redundant ways (round-1 driver parse failed
     // on sbt log prefixes): a fixed file, and a bare final stdout line
     // printed after spark.stop() so no shutdown logging trails it
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), json + "\n")
+    val benchFile =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/root/repo")))
+        "/root/repo/BENCH_SELF.json"
+      else "BENCH_SELF.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(benchFile), json + "\n")
     spark.stop()
     println(json)
     System.out.flush()
