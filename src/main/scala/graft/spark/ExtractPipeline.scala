@@ -106,6 +106,21 @@ object ExtractPipeline {
       triples.withColumn("pred_bucket", pmod(hash(col("pred")), lit(predBuckets))),
       outDir, Seq("pred_bucket"))
 
+  /** Materialize the graph as a SUBJECT-BUCKETED table: `buckets` hash
+    * buckets on `subj`, sorted within buckets. Self-joins and star-pattern
+    * joins on subject (the dominant access path for entity assembly and
+    * entailment) then co-locate WITHOUT a shuffle — the bucketed scan
+    * already satisfies the join's required distribution. This is the
+    * catalog-table counterpart of writeGraph's directory layout (Iceberg:
+    * `bucket(N, subj)` partition transform).
+    */
+  def writeGraphBucketedBySubject(triples: Dataset[Triple], tableName: String,
+                                  buckets: Int = 16): Unit =
+    triples.write.mode("overwrite")
+      .bucketBy(buckets, "subj").sortBy("subj")
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** N-Triples text dump (the reference CLI's sink, script/parse:23-31). */
   def toNTriples(triples: Dataset[Triple]): DataFrame = {
     val subj = when(col("subj").startsWith(Extractor.SkolemPrefix),

@@ -7,7 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 object SparkTestSession {
   lazy val spark: SparkSession = {
-    val s = GraftSession.builder("local[4]", 4).getOrCreate()
+    val s = GraftSession.builder("local[4]", 4)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
@@ -148,6 +151,27 @@ class PipelineSpec extends AnyFunSuite {
     val out = EntityStats.bySubject(hot).collect()
     assert(out.length == 1)
     assert(out.head.getLong(1) == 64 && out.head.getLong(2) == 64)
+  }
+
+  test("subject-bucketed graph table co-locates subject joins with NO shuffle") {
+    val triples = ExtractPipeline.canonicalize(
+      ExtractPipeline.extract(Transcripts.synthetic(spark, 400, 20)))
+    ExtractPipeline.writeGraphBucketedBySubject(triples, "graph_bucketed", buckets = 4)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a sort-merge join so the bucketing (not a broadcast) must
+      // supply the distribution; the bucketed scans satisfy it shuffle-free
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val t = spark.table("graph_bucketed")
+      val joined = t.as("a").join(t.as("b"), "subj")
+        .groupBy(col("subj")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS graph_bucketed")
+    }
   }
 
   test("turn ordering invariant: window by conv_id/turn_idx is stable") {
