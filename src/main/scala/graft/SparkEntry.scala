@@ -91,6 +91,18 @@ object SparkEntry {
         .orderBy(col("component_size"))
     }),
 
+    // END-TO-END gate: extraction (content-addressed skolems) → blocking →
+    // connected components → canonical-min rewrite, checked against an
+    // oracle that recomputes the skolem IDs INDEPENDENTLY via sha256 and
+    // replays the merge arithmetic — nothing engine-specific survives
+    "kg_canonical_contacts" -> ((s, dir) => {
+      val triples = ExtractPipeline.extract(Transcripts.mentions(s, dir))
+      graft.spark.EntityLink.canonicalize(triples, Seq("http://schema.org/contact"))
+        .filter(col("pred") === "http://schema.org/contact")
+        .select(col("subj"), col("obj_lexical").as("contact"))
+        .orderBy(col("subj"), col("contact"))
+    }),
+
     "kg_entity_stats" -> ((s, dir) =>
       graft.spark.EntityStats.bySubject(customerTriples(s, dir))
         .orderBy(col("subj"))),
@@ -384,6 +396,16 @@ object SparkEntry {
       "kg_link_components" ->
         """SELECT CAST(4 AS BIGINT) AS component_size, count(*) AS n_components
           |FROM customer ORDER BY component_size""".stripMargin,
+
+      "kg_canonical_contacts" ->
+        """WITH sk AS (
+          |  SELECT c_custkey AS k,
+          |         'did:skolem:' || substr(sha256('mconv-' || c_custkey || '#' || j || '|1'), 1, 32) AS skolem
+          |  FROM customer, unnest([1, 2, 3, 4]) AS t(j)),
+          |canon AS (SELECT k, MIN(skolem) AS subj FROM sk GROUP BY k)
+          |SELECT subj, 'key-' || k || '-' || v AS contact
+          |FROM canon, unnest([1, 2, 3, 4, 5]) AS u(v)
+          |ORDER BY subj, contact""".stripMargin,
 
       "kg_entity_stats" ->
         """SELECT subj, n_triples, n_preds FROM (
