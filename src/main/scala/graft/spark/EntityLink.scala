@@ -24,19 +24,40 @@ object EntityLink {
 
   /** (subj, canonical) mapping for skolem subjects, linked through the given
     * identifying predicates.
+    *
+    * Skew (north rule: "salted-key LSH blocking ... absorb conv_id/entity
+    * skew"): a HOT blocking key — one contact value shared by millions of
+    * mentions — would otherwise put every one of them in a single CC
+    * neighborhood and one join bucket. Keys with degree > maxKeyDegree
+    * split into ⌈df/maxKeyDegree⌉ salted sub-keys (mention-hash
+    * assignment), chained pairwise so transitive identity is preserved
+    * exactly: components are unchanged, but no node degree and no join
+    * bucket exceeds ~maxKeyDegree.
     */
-  def mentionMapping(triples: Dataset[Triple], keyPredicates: Seq[String]): DataFrame = {
-    // mention→key edges; key nodes are namespaced so they can't collide
-    // with subject ids in the CC node space
-    val edges = triples
+  def mentionMapping(triples: Dataset[Triple], keyPredicates: Seq[String],
+                     maxKeyDegree: Int = 100000): DataFrame = {
+    // mention→key pairs; key nodes are namespaced so they can't collide
+    // with subject ids in the CC node space: the U+0000 separator (written
+    // as an escape to keep this file diffable text) cannot occur in an IRI
+    // or lexical form
+    val mk = triples
       .filter(col("pred").isin(keyPredicates: _*) && col("obj_lexical").isNotNull)
       .filter(col("subj").startsWith(graft.core.Extractor.SkolemPrefix))
       .select(col("subj").as("src"),
-        concat(col("pred"), lit("\u0000"), col("obj_lexical")).as("dst"))
-      // NUL separator written as an escape (keeps this file diffable as
-      // text); U+0000 cannot occur in an IRI or lexical form, so key
-      // nodes never collide across the (pred, value) boundary
-    val cc = ConnectedComponents.run(edges)
+        concat(col("pred"), lit("\u0000"), col("obj_lexical")).as("key"))
+    val deg = mk.groupBy(col("key"))
+      .agg(ceil(count(lit(1)).cast("double") / maxKeyDegree).cast("int").as("n_salts"))
+    val withSalt = mk.join(deg, "key")
+      .select(col("src"),
+        when(col("n_salts") <= 1, col("key"))
+          .otherwise(concat(col("key"), lit("\u0000"),
+            pmod(hash(col("src")), col("n_salts")).cast("string"))).as("dst"))
+    // chain the sub-keys of each split key: K#0 - K#1 - ... - K#(n-1)
+    val chains = deg.filter(col("n_salts") > 1)
+      .select(col("key"), explode(sequence(lit(0), col("n_salts") - 2)).as("i"))
+      .select(concat(col("key"), lit("\u0000"), col("i").cast("string")).as("src"),
+        concat(col("key"), lit("\u0000"), (col("i") + 1).cast("string")).as("dst"))
+    val cc = ConnectedComponents.run(withSalt.unionByName(chains))
     // canonical = min *subject* in the component (keys sort after skolems
     // only by accident, so take min over subjects explicitly)
     val subjects = cc.filter(col("node").startsWith(graft.core.Extractor.SkolemPrefix))

@@ -150,6 +150,23 @@ class ComponentsSpec extends AnyFunSuite {
     assert(bySubj.values.toSet == Set(Set("Ann A", "Ann B"), Set("Other")))
   }
 
+  test("EntityLink salts hot blocking keys: components identical, buckets bounded") {
+    // 300 mentions share ONE contact value — with maxKeyDegree=50 the key
+    // splits into 6 chained sub-keys; transitive identity must survive
+    val turns = (0 until 300).map(i =>
+      (s"h$i", 0, """<div itemscope itemtype="http://schema.org/Person"><span itemprop="contact">HOT</span></div>"""))
+      .toDF("conv_id", "turn_idx", "text")
+    val triples = ExtractPipeline.extract(turns)
+    val salted = EntityLink.mentionMapping(triples, Seq("http://schema.org/contact"),
+      maxKeyDegree = 50)
+    assert(salted.count() == 300)
+    assert(salted.select($"canonical").distinct().count() == 1)
+    // and the mapping equals the unsalted one exactly
+    val plain = EntityLink.mentionMapping(triples, Seq("http://schema.org/contact"))
+    assert(salted.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      plain.collect().map(r => (r.getString(0), r.getString(1))).toSet)
+  }
+
   test("Multimodal: decode/featurize/frame-sample are deterministic with typed schemas") {
     val media = MultimodalOps.syntheticMedia(spark, 50)
     val meta = MultimodalOps.decodeMeta(media).collect().sortBy(_.media_id)
