@@ -45,6 +45,7 @@ object EntityLink {
       .filter(col("subj").startsWith(graft.core.Extractor.SkolemPrefix))
       .select(col("subj").as("src"),
         concat(col("pred"), lit("\u0000"), col("obj_lexical")).as("key"))
+      .localCheckpoint() // consumed twice (degree count + salt join)
     val deg = mk.groupBy(col("key"))
       .agg(ceil(count(lit(1)).cast("double") / maxKeyDegree).cast("int").as("n_salts"))
     val withSalt = mk.join(deg, "key")
@@ -74,7 +75,8 @@ object EntityLink {
   def canonicalize(triples: Dataset[Triple], keyPredicates: Seq[String]): Dataset[Triple] = {
     val spark = triples.sparkSession
     import spark.implicits._
-    val mapping = mentionMapping(triples, keyPredicates)
+    // materialized once: the mapping subtree feeds BOTH rewrite joins below
+    val mapping = mentionMapping(triples, keyPredicates).localCheckpoint()
     val bySubj = triples.as("t")
       .join(mapping.as("ms"), col("t.subj") === col("ms.subj"), "left")
       .select(coalesce(col("ms.canonical"), col("t.subj")).as("subj"),
