@@ -71,20 +71,34 @@ object EntityLink {
   /** Rewrite triples through a (subj → canonical) mapping on both subject
     * and object positions, then re-deduplicate (merged mentions collapse
     * their repeated statements).
+    *
+    * Only skolem subjects/objects can possibly rewrite (the mapping's
+    * domain is skolems by construction), so each rewrite join shuffles
+    * ONLY the skolem-keyed slice — at corpus scale the vast majority of
+    * rows (itemid subjects, literal objects) pass through join-free. This
+    * also keeps null obj_iri keys out of the object join entirely.
     */
   def canonicalize(triples: Dataset[Triple], keyPredicates: Seq[String]): Dataset[Triple] = {
     val spark = triples.sparkSession
     import spark.implicits._
+    val skolemPfx = graft.core.Extractor.SkolemPrefix
     // materialized once: the mapping subtree feeds BOTH rewrite joins below
     val mapping = mentionMapping(triples, keyPredicates).localCheckpoint()
-    val bySubj = triples.as("t")
+
+    val subjSkolem = triples.filter(col("subj").startsWith(skolemPfx))
+    val subjPass = triples.filter(!col("subj").startsWith(skolemPfx)).toDF()
+    val bySubj = subjSkolem.as("t")
       .join(mapping.as("ms"), col("t.subj") === col("ms.subj"), "left")
       .select(coalesce(col("ms.canonical"), col("t.subj")).as("subj"),
         col("t.pred").as("pred"), col("t.obj_iri").as("obj_iri"),
         col("t.obj_lexical").as("obj_lexical"), col("t.obj_datatype").as("obj_datatype"),
         col("t.obj_lang").as("obj_lang"), col("t.conv_id").as("conv_id"),
         col("t.turn_idx").as("turn_idx"))
-    val byObj = bySubj.as("t")
+      .unionByName(subjPass)
+
+    val objSkolem = bySubj.filter(col("obj_iri").isNotNull && col("obj_iri").startsWith(skolemPfx))
+    val objPass = bySubj.filter(col("obj_iri").isNull || !col("obj_iri").startsWith(skolemPfx))
+    val byObj = objSkolem.as("t")
       .join(mapping.withColumnRenamed("subj", "o").as("mo"),
         col("t.obj_iri") === col("mo.o"), "left")
       .select(col("t.subj").as("subj"), col("t.pred").as("pred"),
@@ -92,6 +106,7 @@ object EntityLink {
         col("t.obj_lexical").as("obj_lexical"), col("t.obj_datatype").as("obj_datatype"),
         col("t.obj_lang").as("obj_lang"), col("t.conv_id").as("conv_id"),
         col("t.turn_idx").as("turn_idx"))
+      .unionByName(objPass)
       .as[Triple]
     ExtractPipeline.canonicalize(byObj)
   }
