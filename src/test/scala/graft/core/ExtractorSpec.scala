@@ -146,6 +146,24 @@ class ExtractorSpec extends AnyFunSuite {
     checkItemid("""<div itemprop="knows" itemscope='' itemid="obj"><a href="http://manu.sporny.org/">Manu</a></div>""",
       """<subj> <http://schema.org/knows> <obj> .""")
   }
+  // the remaining URL-element rows of the reference's itemid table
+  // (reader_spec.rb:319-361), transcribed in full
+  val itemidUrlCases: Seq[(String, String)] = Seq(
+    ("""<audio itemprop="audio" src="foo"></audio>""", "audio"),
+    ("""<embed itemprop="embed" src="foo"></embed>""", "embed"),
+    ("""<iframe itemprop="iframe" src="foo"></iframe>""", "iframe"),
+    ("""<source itemprop="source" src="foo"/>""", "source"),
+    ("""<track itemprop="track" src="foo"/>""", "track"),
+    ("""<video itemprop="video" src="foo"></video>""", "video"),
+    ("""<a itemprop="a" href="foo"></a>""", "a"),
+    ("""<area itemprop="area" href="foo"/>""", "area"),
+    ("""<link itemprop="link" href="foo"/>""", "link"),
+    ("""<object itemprop="object" data="foo"/>""", "object"))
+  itemidUrlCases.foreach { case (md, prop) =>
+    test(s"itemid: URL element $prop") {
+      checkItemid(md, s"""<subj> <http://schema.org/$prop> <foo> .""")
+    }
+  }
 
   // ---- itemtype (reader_spec.rb:378-531) ----
   test("itemtype: no type, token property → base fragment predicate") {
