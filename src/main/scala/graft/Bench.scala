@@ -5,12 +5,26 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every SparkEntry query on SPARK_GRAFT_SF_DIR,
   * plus the headline triple-extraction throughput, printed as ONE JSON line.
+  *
+  * The sandbox hypervisor shows 2–7× run-to-run variance on identical plans,
+  * so each query is measured `Samples` times in one JVM and the MEDIAN is
+  * reported (min/max ride along in `queries_min`/`queries_max` so noisy
+  * samples are visible instead of silently polluting the headline numbers).
+  * BENCH_SELF.json is the canonical artifact (the driver's BENCH_r*.json
+  * copy of stdout gets sbt log prefixes attached — see README).
   */
 object Bench {
+  val Samples = 3
+
   def timeIt[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a = f
     (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
   /** Headline metric: extraction throughput (triples/sec) over synthetic
@@ -21,10 +35,10 @@ object Bench {
     // one untimed warmup so the measured run reflects steady-state JIT
     ExtractPipeline.extract(
       Transcripts.synthetic(spark, nTurns / 5, math.max(nTurns / 100, 1))).count()
-    val (n, secs) = timeIt {
+    val runs = (0 until Samples).map(_ => timeIt {
       ExtractPipeline.extract(transcripts).count()
-    }
-    (n, secs)
+    })
+    (runs.head._1, median(runs.map(_._2)))
   }
 
   def main(args: Array[String]): Unit = {
@@ -39,11 +53,13 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, secs) = timeIt {
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+      val samples = (0 until Samples).map { _ =>
+        timeIt {
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+        }._2
       }
-      name -> secs
+      (name, median(samples), samples.min, samples.max)
     }
     // headline: synthetic-transcript extraction, ~sf-scaled turn count
     val nTurns = if (sfDir.contains("sf0.001")) 20000L
@@ -51,13 +67,16 @@ object Bench {
     val (triples, extractSecs) = extractionThroughput(spark, nTurns)
     val tps = (triples / extractSecs).toLong
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def dict(sel: ((String, Double, Double, Double)) => Double) =
+      results.map(t => "\"" + t._1 + "\":" + f"${sel(t)}%.3f").mkString("{", ",", "}")
+    val qs = dict(_._2)
+    val qsMin = dict(_._3)
+    val qsMax = dict(_._4)
     val total = results.map(_._2).sum + extractSecs
     val totalStr = f"$total%.3f"
     val exStr = f"$extractSecs%.3f"
     val json =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_turns":$nTurns,"extract_triples":$triples,"extract_secs":$exStr,"triples_per_sec":$tps}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","samples":$Samples,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"sf":"$sfDir","extract_turns":$nTurns,"extract_triples":$triples,"extract_secs":$exStr,"triples_per_sec":$tps}"""
     // machine-readable in two redundant ways (round-1 driver parse failed
     // on sbt log prefixes): a fixed file, and a bare final stdout line
     // printed after spark.stop() so no shutdown logging trails it

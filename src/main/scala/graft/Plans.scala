@@ -12,6 +12,7 @@ object Plans {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val spark = GraftSession.local(4)
     val names = Seq("kg_types", "kg_entail", "kg_link_components",
+      "kg_canonical_contacts", "doc_dedup_groups", "sim_near_dup_groups",
       "q1_pricing", "q3_top_orders", "doc_jaccard_pairs", "sim_cosine_pairs",
       "sim_topk", "sim_lsh_pairs", "sim_ivf_topk", "doc_minhash_pairs",
       "doc_simhash_pairs", "doc_top_quality", "doc_token_stats")
@@ -21,6 +22,14 @@ object Plans {
     sb ++= "pushed filters reach the parquet scan, ReadSchema is pruned to used\n"
     sb ++= "columns, small join sides broadcast, codegen stages (`*`) span the\n"
     sb ++= "expression work, and the extraction stage contains no Exchange.\n\n"
+    sb ++= "Queries built on ConnectedComponents (kg_canonical_contacts,\n"
+    sb ++= "doc_dedup_groups, sim_near_dup_groups, kg_link_components) eagerly\n"
+    sb ++= "materialize the pair pipeline (localCheckpoint) and, for small edge\n"
+    sb ++= "sets, solve components in one union-find task — their plans below\n"
+    sb ++= "therefore start from the checkpointed RDD scan; the upstream\n"
+    sb ++= "candidate-pair plans are the doc_minhash_pairs / sim_lsh_pairs\n"
+    sb ++= "entries. The sim_ivf_topk assignment stage is the m>128 broadcast\n"
+    sb ++= "path: the ONLY broadcast build side is the bounded centroid model.\n\n"
     names.foreach { n =>
       sb ++= s"## $n\n\n```\n"
       val df = SparkEntry.queries(n)(spark, dir)

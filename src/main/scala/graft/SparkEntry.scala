@@ -277,9 +277,10 @@ object SparkEntry {
       VectorOps.lshRecall(table(s, dir, "embeddings"),
         nBits = 8, nTables = 4, threshold = 0.9)),
 
-    // IVF-style ANN: broadcast coarse-quantizer assignment + cell equi-join
+    // IVF-style ANN: coarse-quantizer assignment (m=256 > the literal-fold
+    // ceiling → BroadcastHashJoin model-scoring path) + cell equi-join
     "sim_ivf_topk" -> ((s, dir) =>
-      VectorOps.ivfTopK(table(s, dir, "embeddings"), m = 16, nProbe = 2, k = 5)
+      VectorOps.ivfTopK(table(s, dir, "embeddings"), m = 256, nProbe = 2, k = 5)
         .select(col("vec_a"), col("vec_b"), col("cos_sim"), col("rank").cast("long").as("rank"))
         .orderBy(col("vec_a"), col("rank"))),
 
@@ -302,7 +303,22 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           col("duration_ms").cast("long").as("duration_ms"),
           col("byte_len").cast("long").as("byte_len"))
-        .orderBy(col("media_id"))))
+        .orderBy(col("media_id"))),
+
+    // multimodal featurize → vector near-dup DEDUP chain, end to end: the
+    // portable byte-fold features of the synthetic media (∪ planted
+    // perturbed copies) go through LSH → exact-cosine verify → connected
+    // components; the oracle recomputes the features from the payload
+    // ARITHMETIC (id → header/body bytes → fold) and replays the chain
+    "mm_feature_dups" -> ((s, _) => {
+      val feats = graft.ops.MultimodalOps.featurize(
+          graft.ops.MultimodalOps.syntheticMedia(s, 500)).toDF()
+        .select(col("media_id").cast("string").as("vec_id"), col("feature").as("embedding"))
+      val corpus = feats.unionByName(
+        VectorOps.perturbed(feats, eps = 0.05, seed = 999983, idSuffix = "_p"))
+      VectorOps.nearDupGroups(corpus, nBits = 8, nTables = 4, threshold = 0.9)
+        .orderBy(col("vec_id"))
+    }))
 
   /** DuckDB-runnable expected results — one per query (since round 2 the
     * probabilistic ops run on PortableHash arithmetic, so their oracles
@@ -626,7 +642,7 @@ object SparkEntry {
 
       "sim_ivf_topk" ->
         """WITH ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-          |cents AS (SELECT vec_id AS c_id, emb AS c_emb FROM ed ORDER BY vec_id LIMIT 16),
+          |cents AS (SELECT CAST(vec_id AS VARCHAR) AS c_id, emb AS c_emb FROM ed ORDER BY vec_id LIMIT 256),
           |cscore AS (SELECT e.vec_id, c.c_id,
           |    list_dot_product(e.emb, c.c_emb) / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) AS c_cos
           |  FROM ed e, cents c),
@@ -648,6 +664,47 @@ object SparkEntry {
            |    list_transform(range(1, len(embedding)+1),
            |      gi -> CAST(CAST(embedding[gi] AS DOUBLE) * (1.0 + 0.05 * (${planeSql("999983", "gi-1")})) AS FLOAT))
            |  FROM embeddings),
+           |ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM corpus),
+           |tb AS (SELECT vec_id, t, ${lshBucketSql("embedding", "t", 8)} AS bucket
+           |       FROM corpus, range(0, 4) r(t)),
+           |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+           |         FROM tb x JOIN tb y ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+           |p AS (SELECT vec_a, vec_b FROM cand JOIN ed a ON a.vec_id = cand.vec_a JOIN ed b ON b.vec_id = cand.vec_b
+           |      WHERE list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.9),
+           |edg AS (SELECT vec_a AS a, vec_b AS b FROM p UNION ALL SELECT vec_b, vec_a FROM p),
+           |nodes AS (SELECT DISTINCT a AS node FROM edg),
+           |reach(node, lbl) AS (
+           |  SELECT node, node FROM nodes
+           |  UNION
+           |  SELECT e.b, r.lbl FROM reach r JOIN edg e ON e.a = r.node)
+           |SELECT node AS vec_id, MIN(lbl) AS keep_id FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
+
+      // replays MultimodalOps.featurize (portable byte-fold over the
+      // reconstructed synthetic payload) + perturbed copies + the LSH →
+      // verify → CC chain — same shape as sim_near_dup_groups
+      "mm_feature_dups" ->
+        s"""WITH RECURSIVE par AS (
+           |  SELECT id, 64 + id % 512 AS w, 64 + id % 256 AS h, 1000 + id % 60000 AS dur
+           |  FROM range(0, 500) t(id)),
+           |bytes AS (SELECT id, list_transform(
+           |    [0, 0, w // 256, w % 256, 0, 0, h // 256, h % 256,
+           |     0, 0, dur // 256, dur % 256, 0, 0, 0, id % 3]
+           |      || list_transform(range(0, id % 96 + 32), bi -> (id * 31 + bi) % 251),
+           |    bx -> CAST(bx AS BIGINT)) AS bs
+           |  FROM par),
+           |feat AS (SELECT CAST(id AS VARCHAR) AS vec_id,
+           |    list_transform(range(0, 16), fd ->
+           |      CAST((list_reduce(list_prepend(2654435769 + fd, bs),
+           |              (fa, fb) -> (fa * 31 + fb + fd) % ${graft.ops.PortableHash.FingerprintP})
+           |            % 2000) - 1000 AS FLOAT) / CAST(1000 AS FLOAT)) AS embedding
+           |  FROM bytes),
+           |corpus AS (
+           |  SELECT vec_id, embedding FROM feat
+           |  UNION ALL
+           |  SELECT vec_id || '_p',
+           |    list_transform(range(1, len(embedding)+1),
+           |      gi -> CAST(CAST(embedding[gi] AS DOUBLE) * (1.0 + 0.05 * (${planeSql("999983", "gi-1")})) AS FLOAT))
+           |  FROM feat),
            |ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM corpus),
            |tb AS (SELECT vec_id, t, ${lshBucketSql("embedding", "t", 8)} AS bucket
            |       FROM corpus, range(0, 4) r(t)),

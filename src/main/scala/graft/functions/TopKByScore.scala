@@ -46,9 +46,14 @@ case class TopKByScore(
   override def nullable: Boolean = false
   override def prettyName: String = "top_k_by_score"
 
-  // (score desc, payload asc); payload copied so unsafe-row memory can't alias
-  private def lt(a: (Double, UTF8String), b: (Double, UTF8String)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2.compareTo(b._2) < 0)
+  // (score desc, payload asc); payload copied so unsafe-row memory can't alias.
+  // Double.compare (not >/==) keeps this a total order on NaN inputs —
+  // raw comparisons treat NaN as "equal to everything", which violates
+  // sortWith's strict-weak-ordering contract and can make TimSort throw.
+  private def lt(a: (Double, UTF8String), b: (Double, UTF8String)): Boolean = {
+    val c = java.lang.Double.compare(b._1, a._1)
+    c < 0 || (c == 0 && a._2.compareTo(b._2) < 0)
+  }
 
   private def compact(buf: ArrayBuffer[(Double, UTF8String)]): Unit =
     if (buf.length > k) {

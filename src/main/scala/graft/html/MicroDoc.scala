@@ -158,7 +158,7 @@ object MicroDoc {
     var k = 0
     val m = str.length
     while (k < m && { val ch = str.charAt(k); ch < 'A' || ch > 'Z' }) k += 1
-    if (k == m) str else str.toLowerCase
+    if (k == m) str else str.toLowerCase(java.util.Locale.ROOT)
   }
 
   def parse(html: String): Doc = {

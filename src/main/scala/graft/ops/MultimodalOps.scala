@@ -60,18 +60,23 @@ object MultimodalOps {
     }
   }
 
-  /** Feature extraction stub: deterministic 16-dim float signature from the
-    * payload bytes (stands in for an embedding model forward pass; batch
-    * shape is what matters at scale).
+  /** Feature extraction stub: deterministic `dim`-dim float signature from
+    * the payload bytes (stands in for an embedding model forward pass; batch
+    * shape is what matters at scale). The fold is PORTABLE modular
+    * arithmetic — per dimension d: acc₀ = 2654435769 + d, acc ← (acc·31 +
+    * byte + d) mod FingerprintP, feature = ((acc mod 2000) − 1000)/1000 ∈
+    * [−1, 1) — so a DuckDB oracle replays the feature→dedup chain
+    * bit-for-bit (mm_feature_dups).
     */
   def featurize(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
+    val p = graft.ops.PortableHash.FingerprintP
     media.mapPartitions { it =>
       it.grouped(256).flatMap(_.iterator.map { r =>
         val f = Array.tabulate(dim) { d =>
-          var acc = 0x9e3779b9L ^ d
-          r.payload.foreach(b => acc = acc * 31 + (b & 0xff) + d)
-          ((acc % 1000).toFloat) / 1000.0f
+          var acc = 2654435769L + d
+          r.payload.foreach(b => acc = (acc * 31 + (b & 0xff) + d) % p)
+          ((acc % 2000).toInt - 1000) / 1000.0f
         }
         MediaFeature(r.media_id, f)
       })

@@ -86,14 +86,21 @@ object PortableHash {
 
   /** plane(k, d) ∈ [-1, 1): LCG over the (hyperplane k, dimension d) pair —
     * no stored model, reproducible across engines and runs.
-    * v = ((k·8191 + d)·1103515245 + 12345) mod 2000; plane = (v−1000)/1000.
+    * v = (((k mod 1000003)·8191 + d)·1103515245 + 12345) mod 2000;
+    * plane = (v−1000)/1000.
+    *
+    * k is reduced mod 1000003 up front so the multiply chain stays below
+    * 2^63 for EVERY non-negative seed (without it, seeds above ~1.02e6
+    * overflow and throw under Spark 4 ANSI mode). `k` must be ≥ 0: the SQL
+    * twin uses engine `%`, which differs from pmod on negatives.
     */
   def plane(k: Column, d: Column): Column =
-    (pmod((k * 8191L + d.cast("long")) * 1103515245L + 12345L, lit(2000L))
+    (pmod((pmod(k.cast("long"), lit(1000003L)) * 8191L + d.cast("long")) * 1103515245L + 12345L,
+        lit(2000L))
       .cast("double") - lit(1000.0)) / lit(1000.0)
 
   def planeSql(k: String, d: String): String =
-    s"(CAST((((CAST($k AS BIGINT)*8191 + ($d))*1103515245 + 12345) % 2000) AS DOUBLE) - 1000.0) / 1000.0"
+    s"(CAST(((((CAST($k AS BIGINT) % 1000003)*8191 + ($d))*1103515245 + 12345) % 2000) AS DOUBLE) - 1000.0) / 1000.0"
 
   /** Signed projection of a float-array embedding onto hyperplane k:
     * sequential index-order double accumulation (bit-identical both engines).

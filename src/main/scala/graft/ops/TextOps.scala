@@ -210,40 +210,74 @@ object TextOps {
       .select(col("node").as("doc_id"), col("component").as("keep_id"))
   }
 
-  /** SimHash band layout for Hamming-distance blocking: `maxHamming + 1`
-    * near-equal chunks of the 62-bit hash. Pigeonhole: two hashes within
-    * Hamming distance d must agree EXACTLY on at least one of d+1 disjoint
-    * bands — so the candidate join is an equi-join on (band, chunk), never
-    * all-pairs (Manku et al., WWW'07 near-duplicate detection).
+  /** Near-equal layout of the 62-bit simhash into `nBlocks` contiguous
+    * blocks, as (offset, width) pairs. With nBlocks = maxHamming + 1 this is
+    * the classic pigeonhole banding (two hashes within Hamming distance d
+    * agree exactly on ≥1 of d+1 disjoint bands) — the layout the DuckDB
+    * oracle uses as an INDEPENDENT complete blocking.
     */
-  def simhashBands(maxHamming: Int): Seq[(Int, Int)] = {
-    val nBands = maxHamming + 1
-    val base = SimhashBits / nBands
-    val extra = SimhashBits % nBands
-    val widths = Seq.tabulate(nBands)(b => base + (if (b < extra) 1 else 0))
-    widths.scanLeft(0)(_ + _).zip(widths).take(nBands) // (offset, width)
+  def simhashBands(maxHamming: Int): Seq[(Int, Int)] = blockLayout(maxHamming + 1)
+
+  private def blockLayout(nBlocks: Int): Seq[(Int, Int)] = {
+    val base = SimhashBits / nBlocks
+    val extra = SimhashBits % nBlocks
+    val widths = Seq.tabulate(nBlocks)(b => base + (if (b < extra) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths).take(nBlocks) // (offset, width)
   }
 
-  /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming: banded
-    * equi-join candidates, verified with an exact popcount on the XOR.
+  /** Multi-table permuted block keys (Manku et al., WWW'07 §3): the 62 bits
+    * split into `nBlocks` blocks; one table per choice of `nBlocks −
+    * maxHamming` blocks, keyed on exactly those blocks. Completeness: two
+    * hashes within Hamming distance d differ in ≤ d blocks, so SOME size-
+    * (nBlocks−d) block subset avoids every differing block — in that table
+    * the pair collides exactly.
+    *
+    * The join-key width is `62·(nBlocks−d)/nBlocks` bits (vs a fixed
+    * 62/(d+1) ≈ 15 bits for the plain pigeonhole, whose ≤65k buckets/band
+    * saturate at ≥10⁸ docs): expected bucket occupancy is n / 2^keyBits, so
+    * choose nBlocks such that keyBits ≳ log₂(n) + 4. Cost: C(nBlocks, d)
+    * tables (replication factor), e.g. d=3: nBlocks=6 → 20 tables / 31-bit
+    * keys (n ≤ ~10⁸); nBlocks=5 → 10 tables / 24-bit keys; nBlocks=4 is the
+    * pigeonhole (4 tables / 15-bit keys) for small corpora.
+    *
+    * @return per table, the (offset, width) list of its key blocks.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPermutedTables(maxHamming: Int, nBlocks: Int): Seq[Seq[(Int, Int)]] = {
+    require(nBlocks > maxHamming, "need more blocks than allowed differing bits")
+    val blocks = blockLayout(nBlocks).toIndexedSeq
+    blocks.indices.combinations(nBlocks - maxHamming).map(_.map(blocks)).toSeq
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming: multi-table
+    * permuted-block equi-join candidates (see [[simhashPermutedTables]] for
+    * the key-width/occupancy math), verified with an exact popcount on the
+    * XOR. Output is the complete hamming ≤ maxHamming pair set — identical
+    * for every valid `nBlocks`, which is why the oracle can check it with
+    * the independent d+1-band pigeonhole blocking.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, nBlocks: Int = 6): DataFrame = {
     val sh = simhash(docs)
-    val bandCols = simhashBands(maxHamming).zipWithIndex.map { case ((off, w), b) =>
-      struct(lit(b).as("band"),
-        shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1)).as("chunk")).as(s"b$b")
+    val tableCols = simhashPermutedTables(maxHamming, nBlocks).zipWithIndex.map {
+      case (blks, t) =>
+        // concatenate the key blocks into one ≤(62−d·minWidth)-bit long:
+        // acc←acc·2^w + chunk stays far below 2^63 (ANSI-safe)
+        val key = blks.foldLeft(lit(0L): Column) { case (acc, (off, w)) =>
+          acc * lit(1L << w) +
+            shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
+        }
+        struct(lit(t).as("tbl"), key.as("key")).as(s"t$t")
     }
-    val banded = sh.select(col("doc_id") +: col("simhash") +: bandCols: _*)
+    val keyed = sh.select(col("doc_id") +: col("simhash") +: tableCols: _*)
       .select(col("doc_id"), col("simhash"),
-        explode(array(bandCols.indices.map(b => col(s"b$b")): _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+        explode(array(tableCols.indices.map(t => col(s"t$t")): _*)).as("tk"))
+      .select(col("doc_id"), col("simhash"), col("tk.tbl").as("tbl"), col("tk.key").as("key"))
+    keyed.as("x").join(keyed.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming) // verify BEFORE the dedup shuffle
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** SimHash (62-bit) per document: per-token portable hash bits weighted

@@ -145,34 +145,64 @@ object VectorOps {
     * deterministic, trainless stand-in (the test corpus is isotropic noise,
     * so Lloyd iterations would not converge to anything better). Swap in
     * k-means-trained centroids at deployment; every downstream plan shape
-    * (broadcast cross-score, cell equi-join) is unchanged.
+    * (broadcast scoring join, cell equi-join) is unchanged. Cell ids are
+    * strings so both assignment paths (and the oracle) break cosine ties
+    * identically.
     */
   def ivfCentroids(embs: DataFrame, m: Int): DataFrame =
     withNorm(embs).orderBy(col("vec_id")).limit(m)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+      .select(col("vec_id").cast("string").as("c_id"),
+        col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
 
-  /** Assign every vector to its `nProbe` nearest centroids by cosine
-    * (ties broken on centroid id). The centroid set is a MODEL, not data —
-    * m entries by construction (√n cells at scale still fits any driver) —
-    * so it folds into a literal array column: scoring + top-nProbe happen
-    * inside one codegen'd projection per row. No join, no shuffle, no
-    * window — the assignment stage is embarrassingly parallel.
+  /** Assign every vector to its `nProbe` nearest centroids by cosine (ties
+    * broken on centroid id as string). The centroid set is a MODEL, not
+    * data, and the physical strategy adapts to its size:
+    *
+    *  - **m ≤ `literalMaxCentroids`**: fold the model into a literal array
+    *    column — scoring + top-nProbe happen inside one codegen'd projection
+    *    per row. No join, no shuffle, no window. Fastest plan, but literal
+    *    folding stops scaling past ~10³ entries (plan size / codegen
+    *    limits).
+    *  - **larger m** (IVF wants √n cells — 10⁶ at 10¹² vectors): a
+    *    BroadcastHashJoin against the broadcast centroid table (the build
+    *    side is the bounded model, never corpus data), then per-vector
+    *    top-nProbe via the bounded [[graft.functions.TopKByScore]]
+    *    aggregate — O(nProbe) reducer memory regardless of m, with map-side
+    *    partials collapsing the m scored rows per vector before the
+    *    exchange. The join key is a derived constant (pmod(hash(id), 1)) so
+    *    Catalyst plans a hash join, not a BroadcastNestedLoopJoin.
     */
-  def ivfAssign(embs: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
+  def ivfAssign(embs: DataFrame, centroids: DataFrame, nProbe: Int,
+                literalMaxCentroids: Int = 128): DataFrame = {
     val cents = centroids.collect() // m model rows, like loading any ANN index
-    val centArr = array(cents.map { r =>
-      struct(lit(r.get(0)).as("c_id"),
-        typedlit(r.getSeq[Float](1)).as("c_emb"),
-        lit(r.getDouble(2)).as("c_nrm"))
-    }.toIndexedSeq: _*)
-    // struct(-cos, c_id) sorted ascending == (cos desc, c_id asc)
-    val scored = transform(centArr, c => struct(
-      (-(dot(col("embedding"), c.getField("c_emb")) /
-        (col("nrm") * c.getField("c_nrm")))).as("negcos"),
-      c.getField("c_id").as("cell")))
-    withNorm(embs)
-      .withColumn("probe", explode(slice(sort_array(scored), 1, nProbe)))
-      .select(col("vec_id"), col("probe.cell").as("cell"))
+    if (cents.length <= literalMaxCentroids) {
+      val centArr = array(cents.map { r =>
+        struct(lit(r.get(0)).as("c_id"),
+          typedlit(r.getSeq[Float](1)).as("c_emb"),
+          lit(r.getDouble(2)).as("c_nrm"))
+      }.toIndexedSeq: _*)
+      // struct(-cos, c_id) sorted ascending == (cos desc, c_id asc)
+      val scored = transform(centArr, c => struct(
+        (-(dot(col("embedding"), c.getField("c_emb")) /
+          (col("nrm") * c.getField("c_nrm")))).as("negcos"),
+        c.getField("c_id").as("cell")))
+      withNorm(embs)
+        .withColumn("probe", explode(slice(sort_array(scored), 1, nProbe)))
+        .select(col("vec_id"), col("probe.cell").as("cell"))
+    } else {
+      // non-foldable all-match key on both sides → BroadcastHashJoin with
+      // the centroid table as build side
+      val e = withNorm(embs).withColumn("jk", pmod(hash(col("vec_id")), lit(1)))
+      val c = broadcast(centroids.withColumn("jk", pmod(hash(col("c_id")), lit(1))))
+      e.join(c, "jk")
+        .select(col("vec_id"),
+          (dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm"))).as("ccos"),
+          col("c_id"))
+        .groupBy(col("vec_id"))
+        .agg(graft.functions.TopKByScore(col("ccos"), col("c_id"), nProbe).as("top"))
+        .select(col("vec_id"), explode(col("top")).as("probe"))
+        .select(col("vec_id"), col("probe.payload").as("cell"))
+    }
   }
 
   /** IVF approximate top-k: candidates are indexed under their single

@@ -129,10 +129,12 @@ object ExtractPipeline {
     val objIri = when(col("obj_iri").startsWith(Extractor.SkolemPrefix),
         concat(lit("_:"), substring(col("obj_iri"), Extractor.SkolemPrefix.length + 1, 1000)))
       .otherwise(concat(lit("<"), col("obj_iri"), lit(">")))
-    // same escape set as graft.core.NTriples.escape: backslash, quote, and
-    // the named control escapes \n \r \t (other control chars are absent
-    // from extracted lexical forms — MicroDoc text is HTML-normalized)
-    val escaped = regexp_replace(
+    // same escape set as graft.core.NTriples.escape: backslash, quote, the
+    // named control escapes \n \r \t, and \uXXXX for every other char
+    // < 0x20 (reachable via numeric character references in markup). The
+    // \uXXXX pass is gated behind an rlike so the common no-control-char row
+    // never pays the char-wise rebuild.
+    val named = regexp_replace(
       regexp_replace(
         regexp_replace(
           regexp_replace(
@@ -141,6 +143,13 @@ object ExtractPipeline {
           "\n", "\\\\n"),
         "\r", "\\\\r"),
       "\t", "\\\\t")
+    // after the named escapes, any remaining char < 0x20 needs \uXXXX
+    val ctrl = "[\\x00-\\x1f]"
+    val uEscaped = aggregate(split(named, ""), lit(""), (acc, ch) =>
+      concat(acc, when(length(ch) === 1 && ascii(ch) < 32,
+          concat(lit("\\u"), lpad(upper(conv(ascii(ch).cast("string"), 10, 16)), 4, "0")))
+        .otherwise(ch)))
+    val escaped = when(named.rlike(ctrl), uEscaped).otherwise(named)
     val lex = concat(lit("\""), escaped, lit("\""))
     val objLit = when(col("obj_lang").isNotNull, concat(lex, lit("@"), col("obj_lang")))
       .when(col("obj_datatype").isNotNull, concat(lex, lit("^^<"), col("obj_datatype"), lit(">")))

@@ -40,4 +40,22 @@ class TopKByScoreSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getInt(1))).toMap
     assert(out == Map("a" -> 1, "b" -> 1))
   }
+
+  test("top_k_by_score survives NaN scores with a deterministic total order") {
+    // raw >/== comparisons make NaN "equal" to everything, breaking the
+    // strict-weak-ordering sortWith relies on; Double.compare keeps a total
+    // order (NaN sorts as the largest score)
+    val rows = (0 until 200).map(i =>
+      ("g", if (i % 7 == 0) Double.NaN else i.toDouble, f"id$i%03d"))
+    val df = rows.toDF("grp", "score", "pid").repartition(9)
+    val got = df.groupBy($"grp").agg(TopKByScore($"score", $"pid", 4).as("top"))
+      .select(posexplode($"top")).select($"col.payload")
+      .collect().map(_.getString(0)).toList
+    // NaN > every real score under Double.compare; payload breaks NaN ties
+    assert(got == List("id000", "id007", "id014", "id021"))
+    val again = df.groupBy($"grp").agg(TopKByScore($"score", $"pid", 4).as("top"))
+      .select(posexplode($"top")).select($"col.payload")
+      .collect().map(_.getString(0)).toList
+    assert(again == got)
+  }
 }

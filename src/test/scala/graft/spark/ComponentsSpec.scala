@@ -122,15 +122,74 @@ class ComponentsSpec extends AnyFunSuite {
     assert(out.contains((2L, "2026-01-01 10:02:00.0", "2026-01-01 10:02:00.0", 1L)))
   }
 
-  test("ConnectedComponents: chain graph converges to one component") {
+  test("Streaming sessionization equals the batch events_sessions query on the full sf0.001 events table") {
+    import graft.streaming.StreamingExtract.{SessionEvent, sessionStream}
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+    // batch truth: the driver query's lag-window sessionization
+    val batchRows = graft.SparkEntry.queries("events_sessions")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+
+    // stream the same events, then two far-future sentinel batches so the
+    // watermark passes every real session's gap horizon (timeouts fire on
+    // the NEXT batch after the watermark advances)
+    val dir = Files.createTempDirectory("graftsessfull").toString
+    // events.ts is TIMESTAMP_NTZ in the parquet — cast like the batch query does
+    val maxTs = events.agg(max($"ts".cast("timestamp")).cast("long")).head().getLong(0) * 1000L
+    events.select($"user_id", $"ts".cast("timestamp").as("ts")).as[(Long, java.sql.Timestamp)]
+      .map { case (u, t) => SessionEvent(u, t) }
+      .coalesce(1).write.parquet(s"$dir/b1")
+    Seq(SessionEvent(-1L, new java.sql.Timestamp(maxTs + 10L * 86400000)))
+      .toDS().coalesce(1).write.parquet(s"$dir/b2")
+    Seq(SessionEvent(-1L, new java.sql.Timestamp(maxTs + 20L * 86400000)))
+      .toDS().coalesce(1).write.parquet(s"$dir/b3")
+    val src = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[SessionEvent]].schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*").as[SessionEvent]
+    val q = sessionStream(src, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_full").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events " +
+      "FROM sessions_full WHERE user_id >= 0 GROUP BY user_id")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed == batchRows)
+    assert(batchRows.nonEmpty)
+  }
+
+  test("ConnectedComponents: chain graph converges to one component (both paths)") {
     val edges = (1 to 9).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+    // default: single-task union-find fallback (small graph)
     val cc = ConnectedComponents.run(edges).collect()
     assert(cc.map(_.getString(1)).distinct.toSeq == Seq("n1"))
     assert(cc.length == 10)
+    // forced distributed loop must agree exactly
+    val ccDist = ConnectedComponents.run(edges, unionFindMaxEdges = 0).collect()
+    assert(ccDist.map(r => (r.getString(0), r.getString(1))).toSet ==
+      cc.map(r => (r.getString(0), r.getString(1))).toSet)
     // two disjoint chains → two components
     val edges2 = edges.union(Seq(("a1", "a2"), ("a2", "a3")).toDF("src", "dst"))
     val cc2 = ConnectedComponents.run(edges2)
     assert(cc2.select("component").distinct().count() == 2)
+  }
+
+  test("ConnectedComponents: union-find and distributed paths agree on a random multigraph") {
+    // deterministic pseudo-random graph with dup edges, self-loops, stars
+    // and chains — exercises path compression and multi-round convergence
+    val rnd = new scala.util.Random(20260816L)
+    val edges = ((0 until 400).map { _ =>
+      val a = rnd.nextInt(120); val b = rnd.nextInt(120)
+      (f"v$a%03d", f"v$b%03d")
+    } ++ (0 until 10).map(i => (f"v$i%03d", f"v$i%03d"))).toDF("src", "dst")
+    val uf = ConnectedComponents.run(edges).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val dist = ConnectedComponents.run(edges, unionFindMaxEdges = 0).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(uf == dist)
+    // every component label is the min of its members
+    val byComp = uf.groupBy(_._2)
+    byComp.foreach { case (lbl, members) => assert(members.map(_._1).min == lbl) }
   }
 
   test("EntityLink: transitive mentions merge; triples rewrite to canonical subject") {

@@ -123,6 +123,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(nt.exists(_.contains("\"5\"^^<http://www.w3.org/2001/XMLSchema#integer>")))
   }
 
+  test("N-Triples sink escapes bare control chars as \\uXXXX, matching core NTriples.escape") {
+    import graft.model.{Term, Triple}
+    // U+000B / U+0001 are reachable via numeric character references in
+    // markup; the column serializer must agree with the row-local one
+    val lex = "abc " + 11.toChar + "\"q\"" + 1.toChar + " \\ \n\t end" // 11 = U+000B, 1 = U+0001
+    val t = Seq(Triple("http://s", "http://p", null, lex, null, null, "c", 0)).toDS()
+    val line = ExtractPipeline.toNTriples(t).as[String].head()
+    val expected = "<http://s> <http://p> " +
+      graft.core.NTriples.termToString(Term.Lit(lex, null, null)) + " ."
+    assert(line == expected)
+    assert(line.contains("\\u000B") && line.contains("\\u0001"))
+    // and a control-free literal takes the cheap path unchanged
+    val plain = Seq(Triple("http://s", "http://p", null, "plain text", null, null, "c", 0)).toDS()
+    assert(ExtractPipeline.toNTriples(plain).as[String].head() ==
+      "<http://s> <http://p> \"plain text\" .")
+  }
+
   test("per-turn document base resolves relative references") {
     val t = turns(("c9", 4,
       """<div itemscope itemtype="http://schema.org/Person" itemid="people/9"><a itemprop="url" href="bio">bio</a></div>"""))
