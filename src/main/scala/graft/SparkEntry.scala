@@ -284,6 +284,14 @@ object SparkEntry {
         .select(col("vec_a"), col("vec_b"), col("cos_sim"), col("rank").cast("long").as("rank"))
         .orderBy(col("vec_a"), col("rank"))),
 
+    // deterministic k-means IVF trainer: cosine Lloyd iterations whose
+    // centroid updates accumulate FIXED-POINT longs (exact, commutative →
+    // partition-order independent), so the trained model and the final
+    // assignment replay bit-for-bit in the DuckDB oracle
+    "sim_kmeans_assign" -> ((s, dir) =>
+      VectorOps.kmeansAssignment(table(s, dir, "embeddings"), m = 8, iters = 2)
+        .orderBy(col("vec_id"))),
+
     // embedding-cosine near-dup DEDUP decision over the planted corpus:
     // LSH candidates → exact verify → connected components → keep-min
     "sim_near_dup_groups" -> ((s, dir) => {
@@ -354,6 +362,41 @@ object SparkEntry {
        |          GROUP BY 1, 2),
        |j AS (SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
        |      FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b)""".stripMargin
+  }
+
+  /** Unrolled DuckDB replay of the deterministic k-means trainer
+    * (VectorOps.kmeansCentroids/kmeansAssignment): `iters` Lloyd updates
+    * with fixed-point long sums, then the final assignment.
+    */
+  private def kmeansOracle(m: Int, iters: Int): String = {
+    def assign(name: String, cdef: String) =
+      s"""$name AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, c.cell,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY list_dot_product(e.emb, c.c_emb) / (e.nrm * c.c_nrm) DESC, c.cell) AS rn
+         |  FROM en e, $cdef c) t WHERE rn = 1)""".stripMargin
+    def update(aPrev: String, cPrev: String, cNext: String) =
+      s"""s_$cNext AS (
+         |  SELECT a.cell, r.d, SUM(CAST(round(e.emb[r.d] * 1000000.0) AS BIGINT)) AS s, COUNT(*) AS n
+         |  FROM $aPrev a JOIN en e USING (vec_id), unnest(range(1, len(e.emb)+1)) AS r(d)
+         |  GROUP BY a.cell, r.d),
+         |u_$cNext AS (
+         |  SELECT cell, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY d) AS c_emb
+         |  FROM s_$cNext GROUP BY cell),
+         |$cNext AS (
+         |  SELECT c.cell, COALESCE(u.c_emb, c.c_emb) AS c_emb,
+         |         sqrt(list_dot_product(COALESCE(u.c_emb, c.c_emb), COALESCE(u.c_emb, c.c_emb))) AS c_nrm
+         |  FROM $cPrev c LEFT JOIN u_$cNext u USING (cell))""".stripMargin
+    val steps = (0 until iters).map(i =>
+      assign(s"a$i", s"c$i") + ",\n" + update(s"a$i", s"c$i", s"c${i + 1}"))
+    s"""WITH ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |en AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM ed),
+       |c0 AS (SELECT 'c' || lpad(CAST(row_number() OVER (ORDER BY vec_id) - 1 AS VARCHAR), 4, '0') AS cell,
+       |              emb AS c_emb, sqrt(list_dot_product(emb, emb)) AS c_nrm
+       |       FROM (SELECT vec_id, emb FROM ed ORDER BY vec_id LIMIT $m) t),
+       |${steps.mkString(",\n")},
+       |${assign(s"a$iters", s"c$iters")}
+       |SELECT vec_id, cell FROM a$iters ORDER BY vec_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = {
@@ -655,6 +698,8 @@ object SparkEntry {
           |  FROM pairs JOIN ed a ON a.vec_id = vec_a JOIN ed b ON b.vec_id = vec_b),
           |r AS (SELECT vec_a, vec_b, cos, row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b) AS rank FROM sc)
           |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos_sim, rank FROM r WHERE rank <= 5 ORDER BY vec_a, rank""".stripMargin,
+
+      "sim_kmeans_assign" -> kmeansOracle(m = 8, iters = 2),
 
       "sim_near_dup_groups" ->
         s"""WITH RECURSIVE corpus AS (

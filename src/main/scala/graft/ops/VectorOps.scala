@@ -230,6 +230,124 @@ object VectorOps {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"), col("rank"))
   }
 
+  // ---------- deterministic k-means trainer (IVF coarse quantizer) ----------
+
+  /** Σ aᵢbᵢ with a DOUBLE-array side (trained centroids): sequential
+    * index-order fold, bit-identical to DuckDB's list_dot_product.
+    */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, v) => s + v)
+
+  /** Stable cell id whose STRING order equals its numeric order. */
+  def kmeansCellId(i: Int): String = f"c$i%04d"
+
+  /** Deterministic distributed k-means (Lloyd, cosine assignment) for the
+    * IVF coarse quantizer — replaces the trainless smallest-id stand-in
+    * with a real trainer while keeping every output bit-for-bit
+    * reproducible:
+    *
+    *  - **Assignment** is argmax cosine with (cos desc, cell asc) ties —
+    *    same adaptive physical strategy as [[ivfAssign]] (literal model fold
+    *    for small m, BroadcastHashJoin + bounded TopKByScore for large m).
+    *  - **Update** uses FIXED-POINT accumulation: each dimension sums
+    *    round(x·10⁶) as LONGS. Long addition is exact and commutative, so
+    *    the distributed sum is partition-order independent — unlike a
+    *    floating-point `avg`, whose value depends on reduction order and
+    *    can differ run to run (and engine to engine). The centroid is then
+    *    S/(n·10⁶) in one exact double division. This is what makes a
+    *    TRAINED model reproducible enough for a DuckDB oracle to replay
+    *    (sim_kmeans_assign) and for incremental re-training at 10¹² rows to
+    *    be auditable.
+    *  - Empty cells keep their previous centroid.
+    *
+    * Scale shape per iteration: one scan + the assignment stage (no shuffle
+    * on the literal path; one broadcast join + partial-agg shuffle on the
+    * large-m path) + one (cell, dim)-keyed partial-agg shuffle of m·dim
+    * longs. The model (m·dim doubles) is the only driver-side state.
+    *
+    * @return (c_id, c_emb: array<double>, c_nrm) — feedable to assignment.
+    */
+  def kmeansCentroids(embs: DataFrame, m: Int, iters: Int,
+                      literalMaxCentroids: Int = 128): DataFrame = {
+    val spark = embs.sparkSession
+    val e = withNorm(embs).localCheckpoint() // reused every iteration
+    var cents: Array[(String, Array[Double])] =
+      embs.orderBy(col("vec_id")).limit(m)
+        .select(col("embedding")).collect().zipWithIndex
+        .map { case (r, i) => (kmeansCellId(i), r.getSeq[Float](0).map(_.toDouble).toArray) }
+    val dim = cents.head._2.length
+
+    for (_ <- 0 until iters) {
+      val assigned = kmeansAssign(e, cents, literalMaxCentroids)
+      // fixed-point per-dimension sums: exact, commutative, order-free
+      val sums = assigned
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(round(col("col").cast("double") * 1000000.0).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"),
+          (col("s").cast("double") / (col("n").cast("double") * 1000000.0)).as("v")))).as("dims"))
+        .select(col("cell"), transform(col("dims"), d => d.getField("v")).as("c_emb"))
+        .collect()
+        .map(r => (r.getString(0), r.getSeq[Double](1).toArray)).toMap
+      cents = cents.map { case (cid, old) => (cid, sums.getOrElse(cid, old)) }
+    }
+
+    import spark.implicits._
+    cents.toSeq.map { case (cid, v) =>
+      (cid, v.toSeq, math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x)))
+    }.toDF("c_id", "c_emb", "c_nrm")
+  }
+
+  /** Nearest-centroid (cosine) assignment against a collected double-array
+    * model: literal fold for small m, BroadcastHashJoin + TopKByScore(1)
+    * for large m (same plan discipline as [[ivfAssign]]).
+    * Input must carry (vec_id, embedding, nrm); output (vec_id, embedding, cell).
+    */
+  private def kmeansAssign(e: DataFrame, cents: Array[(String, Array[Double])],
+                           literalMaxCentroids: Int): DataFrame = {
+    if (cents.length <= literalMaxCentroids) {
+      val centArr = array(cents.map { case (cid, v) =>
+        val nrm = math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x))
+        struct(lit(cid).as("cell"), typedlit(v.toSeq).as("c_emb"), lit(nrm).as("c_nrm"))
+      }.toIndexedSeq: _*)
+      val scored = transform(centArr, c => struct(
+        (-(dotD(col("embedding"), c.getField("c_emb")) /
+          (col("nrm") * c.getField("c_nrm")))).as("negcos"),
+        c.getField("cell").as("cell")))
+      e.withColumn("cell", sort_array(scored).getItem(0).getField("cell"))
+        .select(col("vec_id"), col("embedding"), col("cell"))
+    } else {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val cdf = cents.toSeq.map { case (cid, v) =>
+        (cid, v.toSeq, math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x)))
+      }.toDF("c_id", "c_emb", "c_nrm")
+      val left = e.withColumn("jk", pmod(hash(col("vec_id")), lit(1)))
+      val right = broadcast(cdf.withColumn("jk", pmod(hash(col("c_id")), lit(1))))
+      left.join(right, "jk")
+        .select(col("vec_id"), col("embedding"),
+          (dotD(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm"))).as("ccos"),
+          col("c_id"))
+        .groupBy(col("vec_id"), col("embedding"))
+        .agg(graft.functions.TopKByScore(col("ccos"), col("c_id"), 1).as("top"))
+        .select(col("vec_id"), col("embedding"), col("top").getItem(0).getField("payload").as("cell"))
+    }
+  }
+
+  /** Final k-means cell assignment (vec_id → cell) after training. */
+  def kmeansAssignment(embs: DataFrame, m: Int, iters: Int,
+                       literalMaxCentroids: Int = 128): DataFrame = {
+    val centsDf = kmeansCentroids(embs, m, iters, literalMaxCentroids)
+    val cents = centsDf.collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    kmeansAssign(withNorm(embs), cents, literalMaxCentroids)
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** Embedding-cosine near-duplicate DEDUP decision: LSH candidate pairs →
     * exact-cosine verify ≥ threshold → connected components over the
     * verified pairs (transitive duplicates merge) → each group keeps its

@@ -193,9 +193,24 @@ class ExtractorSpec extends AnyFunSuite {
     check("""<div><div itemscope=''><p id="a">Name: <span itemprop="http://schema.org/name">Amanda</span></p></div></div>""",
       """_:a <http://schema.org/name> "Amanda" .""")
   }
+  test("itemtype: empty type, URI property") {
+    check("""<div><div itemscope='' itemtype=""><p id="a">Name: <span itemprop="http://schema.org/name">Amanda</span></p></div></div>""",
+      """_:a <http://schema.org/name> "Amanda" .""")
+  }
   test("itemtype: relative type, URI property") {
     check("""<div><div itemscope='' itemtype="Person"><p id="a">Name: <span itemprop="http://schema.org/name">Amanda</span></p></div></div>""",
       """_:a <http://schema.org/name> "Amanda" .""")
+  }
+  test("itemtype: single type, URI property") {
+    check("""<div><div itemscope='' itemtype="http://schema.org/Person"><p id="a">Name: <span itemprop="http://schema.org/name">Amanda</span></p></div></div>""",
+      """_:a <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://schema.org/Person> .
+         _:a <http://schema.org/name> "Amanda" .""")
+  }
+  test("itemtype: multiple types, URI property") {
+    check("""<div><div itemscope='' itemtype="http://schema.org/Person http://xmlns.com/foaf/0.1/Person"><p id="a">Name: <span itemprop="http://schema.org/name">Amanda</span></p></div></div>""",
+      """_:a <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://schema.org/Person> .
+         _:a <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://xmlns.com/foaf/0.1/Person> .
+         _:a <http://schema.org/name> "Amanda" .""")
   }
   test("itemtype: inherited vocab into untyped nested item") {
     check("""<div itemscope='' itemtype="http://schema.org/Person">
@@ -454,5 +469,29 @@ class ExtractorSpec extends AnyFunSuite {
       """_:a <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <https://schema.org/Person> .
          _:a <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://xmlns.com/foaf/0.1/Person> .
          _:a <https://schema.org/additionalType> <http://xmlns.com/foaf/0.1/Person> .""")
+  }
+
+  // ---- composite golden documents ----
+  // Top-level items are independent (html.rb / reader.rb getItems walks each
+  // itemscope subtree separately), so a document concatenating the golden
+  // example fragments must extract the UNION of their graphs — with bnode
+  // labels made disjoint per constituent (bijection matching does the rest).
+  // This exercises multi-item documents, document-wide id lookup for
+  // itemref (example2's id="home" must resolve inside the larger DOM), and
+  // lang scoping across sibling subtrees. No id/itemref collisions exist
+  // between example1/2/3 (verified: example1 uses URL-shaped ids, example2
+  // uses "home", example3 none).
+  def composite(names: String*): Unit = {
+    val html = names.map(n => "<div>\n" + TestGraph.resource(s"/golden/$n.html") + "\n</div>")
+      .mkString("\n")
+    val nt = names.zipWithIndex.map { case (n, i) =>
+      TestGraph.resource(s"/golden/$n.nt").replace("_:", s"_:c$i")
+    }.mkString("\n")
+    check(html, nt)
+  }
+  test("composite golden: example1 + example2") { composite("example1", "example2") }
+  test("composite golden: example2 + example3") { composite("example2", "example3") }
+  test("composite golden: example1 + example2 + example3") {
+    composite("example1", "example2", "example3")
   }
 }

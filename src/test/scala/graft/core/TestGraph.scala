@@ -70,6 +70,10 @@ object TestGraph {
   def matchedCount(actual0: Seq[RawTriple], expected0: Seq[RawTriple]): Int = {
     val a = actual0.toSet
     val b = expected0.toSet
+    // fully isomorphic (the common case — every unit test asserts it) means
+    // every expected triple matches, at any bnode count; the bounded
+    // partial-match search below is only for diagnosing real mismatches
+    if (a.size == b.size && isomorphic(actual0, expected0)) return b.size
     val ab = bnodes(a)
     val bb = bnodes(b)
     var best = 0

@@ -68,4 +68,21 @@ class BlockingSpec extends AnyFunSuite {
     val dflt = VectorOps.ivfAssign(embs, VectorOps.ivfCentroids(embs, 256), nProbe = 2)
     assert(dflt.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
+
+  test("kmeans: fixed-point updates make training partition-order independent; paths agree") {
+    def assignOf(df: org.apache.spark.sql.DataFrame, lmc: Int) =
+      VectorOps.kmeansAssignment(df, m = 8, iters = 2, literalMaxCentroids = lmc)
+        .collect().map(r => (r.get(0).toString, r.getString(1))).toSet
+    val a = assignOf(embs, 128)
+    // a float avg() would drift across partitionings; the long sums must not
+    val b = assignOf(embs.repartition(13), 128)
+    val c = assignOf(embs.coalesce(1), 128)
+    assert(a == b && b == c)
+    assert(a.size == embs.count())
+    // broadcast assignment path (m > ceiling) produces the identical model
+    val d = assignOf(embs, 0)
+    assert(d == a)
+    // cells are actually populated (training moved the centroids somewhere real)
+    assert(a.map(_._2).size >= 2)
+  }
 }
