@@ -292,6 +292,14 @@ object SparkEntry {
       VectorOps.kmeansAssignment(table(s, dir, "embeddings"), m = 8, iters = 2)
         .orderBy(col("vec_id"))),
 
+    // the trained quantizer feeding IVF end-to-end: train → index under
+    // nearest trained cell → probe 2 cells → exact-cosine rank
+    "sim_ivf_kmeans" -> ((s, dir) =>
+      VectorOps.ivfTopKTrained(table(s, dir, "embeddings"), m = 8, iters = 2,
+          nProbe = 2, k = 5)
+        .select(col("vec_a"), col("vec_b"), col("cos_sim"), col("rank").cast("long").as("rank"))
+        .orderBy(col("vec_a"), col("rank"))),
+
     // embedding-cosine near-dup DEDUP decision over the planted corpus:
     // LSH candidates → exact verify → connected components → keep-min
     "sim_near_dup_groups" -> ((s, dir) => {
@@ -364,17 +372,20 @@ object SparkEntry {
        |      FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b)""".stripMargin
   }
 
-  /** Unrolled DuckDB replay of the deterministic k-means trainer
-    * (VectorOps.kmeansCentroids/kmeansAssignment): `iters` Lloyd updates
-    * with fixed-point long sums, then the final assignment.
+  /** nProbe-nearest-cell assignment CTE (shared by the k-means oracles). */
+  private def kmAssignCte(name: String, cdef: String, nProbe: Int): String =
+    s"""$name AS (SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, c.cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY list_dot_product(e.emb, c.c_emb) / (e.nrm * c.c_nrm) DESC, c.cell) AS rn
+       |  FROM en e, $cdef c) t WHERE rn <= $nProbe)""".stripMargin
+
+  /** CTE chain replaying the deterministic k-means trainer
+    * (VectorOps.kmeansCentroids): init from the m smallest ids, then
+    * `iters` Lloyd updates with fixed-point long sums. Defines en (vectors
+    * + norms) and c$iters (the trained model).
     */
-  private def kmeansOracle(m: Int, iters: Int): String = {
-    def assign(name: String, cdef: String) =
-      s"""$name AS (SELECT vec_id, cell FROM (
-         |  SELECT e.vec_id, c.cell,
-         |         row_number() OVER (PARTITION BY e.vec_id
-         |           ORDER BY list_dot_product(e.emb, c.c_emb) / (e.nrm * c.c_nrm) DESC, c.cell) AS rn
-         |  FROM en e, $cdef c) t WHERE rn = 1)""".stripMargin
+  private def kmeansCtes(m: Int, iters: Int): String = {
     def update(aPrev: String, cPrev: String, cNext: String) =
       s"""s_$cNext AS (
          |  SELECT a.cell, r.d, SUM(CAST(round(e.emb[r.d] * 1000000.0) AS BIGINT)) AS s, COUNT(*) AS n
@@ -388,16 +399,33 @@ object SparkEntry {
          |         sqrt(list_dot_product(COALESCE(u.c_emb, c.c_emb), COALESCE(u.c_emb, c.c_emb))) AS c_nrm
          |  FROM $cPrev c LEFT JOIN u_$cNext u USING (cell))""".stripMargin
     val steps = (0 until iters).map(i =>
-      assign(s"a$i", s"c$i") + ",\n" + update(s"a$i", s"c$i", s"c${i + 1}"))
-    s"""WITH ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      kmAssignCte(s"a$i", s"c$i", 1) + ",\n" + update(s"a$i", s"c$i", s"c${i + 1}"))
+    s"""ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |en AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM ed),
        |c0 AS (SELECT 'c' || lpad(CAST(row_number() OVER (ORDER BY vec_id) - 1 AS VARCHAR), 4, '0') AS cell,
        |              emb AS c_emb, sqrt(list_dot_product(emb, emb)) AS c_nrm
        |       FROM (SELECT vec_id, emb FROM ed ORDER BY vec_id LIMIT $m) t),
-       |${steps.mkString(",\n")},
-       |${assign(s"a$iters", s"c$iters")}
-       |SELECT vec_id, cell FROM a$iters ORDER BY vec_id""".stripMargin
+       |${steps.mkString(",\n")}""".stripMargin
   }
+
+  /** Trainer + final assignment (VectorOps.kmeansAssignment). */
+  private def kmeansOracle(m: Int, iters: Int): String =
+    s"""WITH ${kmeansCtes(m, iters)},
+       |${kmAssignCte(s"a$iters", s"c$iters", 1)}
+       |SELECT vec_id, cell FROM a$iters ORDER BY vec_id""".stripMargin
+
+  /** Trainer + IVF probe/index/rank (VectorOps.ivfTopKTrained). */
+  private def kmeansIvfOracle(m: Int, iters: Int, nProbe: Int, k: Int): String =
+    s"""WITH ${kmeansCtes(m, iters)},
+       |${kmAssignCte("qassign", s"c$iters", nProbe)},
+       |${kmAssignCte("cassign", s"c$iters", 1)},
+       |pairs AS (SELECT q.vec_id AS vec_a, c.vec_id AS vec_b
+       |          FROM qassign q JOIN cassign c ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+       |sc AS (SELECT vec_a, vec_b,
+       |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
+       |  FROM pairs JOIN en a ON a.vec_id = vec_a JOIN en b ON b.vec_id = vec_b),
+       |r AS (SELECT vec_a, vec_b, cos, row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b) AS rank FROM sc)
+       |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos_sim, rank FROM r WHERE rank <= $k ORDER BY vec_a, rank""".stripMargin
 
   def oracleSql: Map[String, String] = {
     import graft.ops.PortableHash._
@@ -700,6 +728,8 @@ object SparkEntry {
           |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos_sim, rank FROM r WHERE rank <= 5 ORDER BY vec_a, rank""".stripMargin,
 
       "sim_kmeans_assign" -> kmeansOracle(m = 8, iters = 2),
+
+      "sim_ivf_kmeans" -> kmeansIvfOracle(m = 8, iters = 2, nProbe = 2, k = 5),
 
       "sim_near_dup_groups" ->
         s"""WITH RECURSIVE corpus AS (

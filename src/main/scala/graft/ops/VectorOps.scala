@@ -301,13 +301,14 @@ object VectorOps {
     }.toDF("c_id", "c_emb", "c_nrm")
   }
 
-  /** Nearest-centroid (cosine) assignment against a collected double-array
-    * model: literal fold for small m, BroadcastHashJoin + TopKByScore(1)
-    * for large m (same plan discipline as [[ivfAssign]]).
-    * Input must carry (vec_id, embedding, nrm); output (vec_id, embedding, cell).
+  /** `nProbe`-nearest-centroid (cosine) assignment against a collected
+    * double-array model: literal fold for small m, BroadcastHashJoin +
+    * TopKByScore(nProbe) for large m (same plan discipline as
+    * [[ivfAssign]]). Input must carry (vec_id, embedding, nrm); output one
+    * row per (vec, probed cell): (vec_id, embedding, cell).
     */
   private def kmeansAssign(e: DataFrame, cents: Array[(String, Array[Double])],
-                           literalMaxCentroids: Int): DataFrame = {
+                           literalMaxCentroids: Int, nProbe: Int = 1): DataFrame = {
     if (cents.length <= literalMaxCentroids) {
       val centArr = array(cents.map { case (cid, v) =>
         val nrm = math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x))
@@ -317,8 +318,8 @@ object VectorOps {
         (-(dotD(col("embedding"), c.getField("c_emb")) /
           (col("nrm") * c.getField("c_nrm")))).as("negcos"),
         c.getField("cell").as("cell")))
-      e.withColumn("cell", sort_array(scored).getItem(0).getField("cell"))
-        .select(col("vec_id"), col("embedding"), col("cell"))
+      e.withColumn("probe", explode(slice(sort_array(scored), 1, nProbe)))
+        .select(col("vec_id"), col("embedding"), col("probe.cell").as("cell"))
     } else {
       val spark = e.sparkSession
       import spark.implicits._
@@ -332,8 +333,9 @@ object VectorOps {
           (dotD(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm"))).as("ccos"),
           col("c_id"))
         .groupBy(col("vec_id"), col("embedding"))
-        .agg(graft.functions.TopKByScore(col("ccos"), col("c_id"), 1).as("top"))
-        .select(col("vec_id"), col("embedding"), col("top").getItem(0).getField("payload").as("cell"))
+        .agg(graft.functions.TopKByScore(col("ccos"), col("c_id"), nProbe).as("top"))
+        .select(col("vec_id"), col("embedding"), explode(col("top")).as("probe"))
+        .select(col("vec_id"), col("embedding"), col("probe.payload").as("cell"))
     }
   }
 
@@ -346,6 +348,36 @@ object VectorOps {
       .sortBy(_._1)
     kmeansAssign(withNorm(embs), cents, literalMaxCentroids)
       .select(col("vec_id"), col("cell"))
+  }
+
+  /** IVF top-k over a k-means-TRAINED coarse quantizer, end to end: train
+    * (fixed-point Lloyd), index candidates under their nearest trained
+    * cell, probe queries' `nProbe` nearest cells, rank cell-equi-join pairs
+    * by exact cosine. Same plan shape as [[ivfTopK]] — the only change is
+    * the model quality — and still bit-for-bit oracle-replayable because
+    * the trained model itself is deterministic.
+    */
+  def ivfTopKTrained(embs: DataFrame, m: Int, iters: Int, nProbe: Int, k: Int,
+                     literalMaxCentroids: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = kmeansCentroids(embs, m, iters, literalMaxCentroids).collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val e = withNorm(embs).localCheckpoint()
+    val queries = kmeansAssign(e, cents, literalMaxCentroids, nProbe)
+      .select(col("vec_id"), col("cell"))
+    val cands = kmeansAssign(e, cents, literalMaxCentroids, 1)
+      .select(col("vec_id"), col("cell"))
+    val pairs = queries.as("q").join(cands.as("c"),
+        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("vec_a"), col("c.vec_id").as("vec_b"))
+    val scored = pairs
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), cosSim(col("ea"), col("na"), col("eb"), col("nb")).as("cos"))
+    val w = Window.partitionBy(col("vec_a")).orderBy(col("cos").desc, col("vec_b"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"), col("rank"))
   }
 
   /** Embedding-cosine near-duplicate DEDUP decision: LSH candidate pairs →

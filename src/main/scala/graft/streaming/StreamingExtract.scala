@@ -38,6 +38,20 @@ object StreamingExtract {
       .agg(count(lit(1)).as("n_turns"))
   }
 
+  /** Streaming exact-dedup: emit the FIRST occurrence of each text hash,
+    * dropping later duplicates that arrive within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` keys state on the md5 only for the
+    * watermark window (state is evicted once the event time passes), so
+    * state size is bounded by the dedup horizon — the streaming twin of
+    * `TextOps.exactDupGroups`, which dedups the full corpus at rest.
+    * Input needs (doc_id, text, ts).
+    */
+  def dedupStream(docs: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("text_md5", md5(col("text")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("text_md5")
+
   // ---- stateful sessionization (custom per-key state) ----
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)

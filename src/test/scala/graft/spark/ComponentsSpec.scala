@@ -174,6 +174,43 @@ class ComponentsSpec extends AnyFunSuite {
     assert(cc2.select("component").distinct().count() == 2)
   }
 
+  test("Streaming dedup drops within-watermark duplicates, keeps first occurrences") {
+    import graft.streaming.StreamingExtract
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = Files.createTempDirectory("graftdedup").toString
+    // batch 1: three distinct texts; batch 2 (minutes later, inside the
+    // watermark): one exact dup of "aaa" plus one new text
+    Seq((1L, "aaa", ts("2026-01-01 10:00:00")), (2L, "bbb", ts("2026-01-01 10:00:10")),
+        (3L, "ccc", ts("2026-01-01 10:00:20")))
+      .toDF("doc_id", "text", "ts").coalesce(1).write.parquet(s"$dir/b1")
+    Seq((4L, "aaa", ts("2026-01-01 10:02:00")), (5L, "ddd", ts("2026-01-01 10:02:10")))
+      .toDF("doc_id", "text", "ts").coalesce(1).write.parquet(s"$dir/b2")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    val src = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = StreamingExtract.dedupStream(src, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.sql("SELECT doc_id, text FROM dedup_out")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept == Set((1L, "aaa"), (2L, "bbb"), (3L, "ccc"), (5L, "ddd")))
+  }
+
+  test("ConnectedComponents: distributed loop converges in O(log diameter) rounds on a long chain") {
+    // 512-node chain (diameter 511): min-label + pointer-jumping halves
+    // label paths per round, so ~log2(511) + slack rounds must suffice —
+    // a linear-propagation implementation would need ~511 and fail here
+    val n = 512
+    val edges = (1 until n).map(i => (f"v$i%04d", f"v${i + 1}%04d")).toDF("src", "dst")
+    val cc = ConnectedComponents.run(edges, maxIterations = 14, unionFindMaxEdges = 0)
+      .collect()
+    assert(cc.length == n)
+    assert(cc.map(_.getString(1)).distinct.toSeq == Seq("v0001"))
+  }
+
   test("ConnectedComponents: union-find and distributed paths agree on a random multigraph") {
     // deterministic pseudo-random graph with dup edges, self-loops, stars
     // and chains — exercises path compression and multi-round convergence
