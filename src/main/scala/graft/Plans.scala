@@ -13,7 +13,7 @@ object Plans {
     val spark = GraftSession.local(4)
     val names = Seq("kg_types", "kg_entail", "kg_link_components",
       "kg_canonical_contacts", "doc_dedup_groups", "sim_near_dup_groups",
-      "sim_kmeans_assign", "mm_feature_dups",
+      "sim_kmeans_assign", "sim_ivf_kmeans", "mm_feature_dups",
       "q1_pricing", "q3_top_orders", "doc_jaccard_pairs", "sim_cosine_pairs",
       "sim_topk", "sim_lsh_pairs", "sim_ivf_topk", "doc_minhash_pairs",
       "doc_simhash_pairs", "doc_top_quality", "doc_token_stats")
