@@ -42,8 +42,16 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** @return (node, component) where component = min node id reachable. */
-  def run(edges: DataFrame, maxIterations: Int = 25,
+  /** @return (node, component) where component = min node id reachable.
+    * @throws IllegalStateException if the distributed loop has not
+    *         converged after `maxIterations` — non-converged labels are
+    *         WRONG (mid-propagation values), so they must never be
+    *         returned silently. Convergence needs ≈ log₂(diameter) + small
+    *         slack rounds (the 512-node-chain spec converges in ≤14), so
+    *         the default 64 covers any graph that fits on hardware —
+    *         2^64 exceeds the diameter of any representable graph.
+    */
+  def run(edges: DataFrame, maxIterations: Int = 64,
           checkpointInterval: Int = 5,
           unionFindMaxEdges: Long = 10000000L): DataFrame = {
     // materialize the (possibly expensive) upstream pair pipeline exactly
@@ -135,6 +143,10 @@ object ConnectedComponents {
       converged = next.filter(col("changed")).limit(1).isEmpty
       labels = next.select(col("node"), col("component"))
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIterations rounds — " +
+          "labels are mid-propagation and must not be used; raise maxIterations")
     labels
   }
 }

@@ -211,6 +211,16 @@ class ComponentsSpec extends AnyFunSuite {
     assert(cc.map(_.getString(1)).distinct.toSeq == Seq("v0001"))
   }
 
+  test("ConnectedComponents: non-convergence THROWS instead of returning mid-propagation labels") {
+    // a 64-node chain cannot converge in 2 rounds; silent return of the
+    // intermediate labels would be a wrong answer (caught live in CcBench
+    // when a giant-cycle graph exceeded the old default round cap)
+    val edges = (1 until 64).map(i => (f"v$i%03d", f"v${i + 1}%03d")).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      ConnectedComponents.run(edges, maxIterations = 2, unionFindMaxEdges = 0).count()
+    }
+  }
+
   test("ConnectedComponents: union-find and distributed paths agree on a random multigraph") {
     // deterministic pseudo-random graph with dup edges, self-loops, stars
     // and chains — exercises path compression and multi-round convergence
