@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.RegistryIndex
-import graft.spark.{Entailment, ExtractPipeline, GraftSession, Resume}
+import graft.spark.{Entailment, ExtractPipeline, GraftSession, Resume, Transcripts}
 import org.apache.spark.sql.SparkSession
 
 /** spark-submit entry point — the distributed counterpart of the reference
@@ -16,6 +16,11 @@ import org.apache.spark.sql.SparkSession
   *     [--base-prefix conv://] [--buckets 256] [--entail] [--ntriples] \
   *     [--validate]
   *
+  * `--input synthetic:<nTurns>[:<nConvs>]` substitutes the deterministic
+  * generated corpus (Transcripts.synthetic) for the parquet read — a
+  * data-free smoke/scaling run on any cluster (the generator is
+  * spark.range-driven, so it parallelizes like the real scan).
+  *
   * Output is written with checkpointed resume (Resume.writeWithResume):
   * re-running after a failure completes only the missing buckets.
   */
@@ -23,17 +28,22 @@ object ExtractMain {
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
-    val spark = SparkSession.getActiveSession.getOrElse {
-      // spark-submit provides master/conf; local fallback for direct runs
-      GraftSession.builder(
-        sys.env.getOrElse("SPARK_MASTER", "local[*]"),
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt).getOrCreate()
-    }
+    // spark-submit provides master/conf (respected); local fallback otherwise
+    val spark = SparkSession.getActiveSession.getOrElse(
+      GraftSession.fromSubmit(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt))
     spark.sparkContext.setLogLevel("WARN")
 
     val registry = opts.get("registry").map(RegistryIndex.fromUri)
       .getOrElse(ExtractPipeline.defaultRegistry)
-    val transcripts = spark.read.parquet(opts("input"))
+    val transcripts = opts("input") match {
+      case s if s.startsWith("synthetic:") =>
+        val parts = s.stripPrefix("synthetic:").split(':')
+        val nTurns = parts(0).toLong
+        val nConvs = if (parts.length > 1) parts(1).toLong
+                     else math.max(nTurns / 20, 1L)
+        Transcripts.synthetic(spark, nTurns, nConvs)
+      case path => spark.read.parquet(path)
+    }
     val errors = spark.sparkContext.longAccumulator("extract_errors")
 
     val t0 = System.nanoTime()

@@ -24,4 +24,36 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Session for spark-submit entry points. The launcher owns master and any
+    * explicitly-passed conf (it sets them as system properties before main
+    * runs), so this builder adds only the graft defaults and never overrides
+    * a setting the submit command supplied. Shuffle partitions left at
+    * Spark's static 200 default are re-sized to the cluster's actual
+    * parallelism — the one setting that must track executor count to keep
+    * post-shuffle partitions constant-sized as the cluster grows (a 200-part
+    * shuffle on a 1000-core cluster idles 80% of it; an explicit
+    * `--conf spark.sql.shuffle.partitions=N` still wins).
+    */
+  def fromSubmit(localFallbackCpus: Int): SparkSession = {
+    val graftDefaults = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.session.timeZone" -> "UTC")
+    val submitted = sys.props.contains("spark.master")
+    var b = SparkSession.builder().appName("graft-kg")
+    graftDefaults.foreach { case (k, v) =>
+      if (!sys.props.contains(k)) b = b.config(k, v)
+    }
+    if (!submitted)
+      b = b.master(s"local[$localFallbackCpus]")
+        .config("spark.sql.shuffle.partitions", localFallbackCpus.toString)
+        .config("spark.ui.enabled", "false")
+    val s = b.getOrCreate()
+    if (submitted && !sys.props.contains("spark.sql.shuffle.partitions"))
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.max(s.sparkContext.defaultParallelism, 1).toString)
+    s
+  }
 }
