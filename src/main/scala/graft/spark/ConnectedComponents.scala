@@ -23,8 +23,14 @@ import org.apache.spark.sql.functions._
   *    hop of neighbor min-label propagation with one pointer-jumping step
   *    (label := label's label), so label paths halve per round and
   *    convergence needs O(log diameter) rounds instead of O(diameter).
-  *    Initialization already folds the first hop (label₀ = min(self,
-  *    neighbors)), saving a full round.
+  *    Initialization runs per-partition union–find (partitioned by src, so
+  *    a node's whole edge set is local), contracting all intra-partition
+  *    structure before round 1 — the loop then only crosses the partition
+  *    quotient graph. (A full forest-CONTRACTION cascade was considered
+  *    and rejected: a spanning forest never has fewer edges than nodes, so
+  *    contraction alone can never reach the single-task threshold once the
+  *    node count alone exceeds it — the loop is the honest giant-graph
+  *    path, and the union–find init buys it the same first-pass win.)
   *
   * Distributed-round cost notes (the round-1 version spent ~3 jobs/round and
   * detected convergence with a collision-prone hash-sum fingerprint):
@@ -62,56 +68,78 @@ object ConnectedComponents {
     else runDistributed(raw, maxIterations, checkpointInterval)
   }
 
-  /** Single-task union–find with path halving: one job, no shuffles.
-    * Duplicate and self edges are harmless; direction is ignored.
+  /** Union–find (path halving) over one iterator of edges; emits
+    * (node, component = min id in the class, bytewise/ASCII ordering) for
+    * every node seen. Duplicate and self edges are harmless; direction is
+    * ignored. Shared by the single-task path (whole graph in one iterator)
+    * and the distributed loop's per-partition init labeling.
     */
+  private def labelPartition(it: Iterator[(String, String)]): Iterator[(String, String)] = {
+    val parent = new java.util.HashMap[String, String]()
+    def find(x0: String): String = {
+      var x = x0
+      var p = parent.get(x)
+      if (p == null) { parent.put(x, x); return x }
+      while (p != x) { // path halving: point x at its grandparent
+        val gp = parent.get(p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.get(x)
+      }
+      x
+    }
+    it.foreach { case (a, b) =>
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) parent.put(ra, rb)
+    }
+    val minOf = new java.util.HashMap[String, String]()
+    val nodes = parent.keySet().toArray(Array.empty[String])
+    nodes.foreach { n =>
+      val r = find(n)
+      val cur = minOf.get(r)
+      if (cur == null || n.compareTo(cur) < 0) minOf.put(r, n)
+    }
+    nodes.iterator.map(n => (n, minOf.get(find(n))))
+  }
+
+  /** Single-task union–find: one job, no shuffles. */
   private def runUnionFind(raw: DataFrame): DataFrame = {
     val spark = raw.sparkSession
     import spark.implicits._
-    raw.as[(String, String)].coalesce(1).mapPartitions { it =>
-      val parent = new java.util.HashMap[String, String]()
-      def find(x0: String): String = {
-        var x = x0
-        var p = parent.get(x)
-        if (p == null) { parent.put(x, x); return x }
-        while (p != x) { // path halving: point x at its grandparent
-          val gp = parent.get(p)
-          parent.put(x, gp)
-          x = gp
-          p = parent.get(x)
-        }
-        x
-      }
-      it.foreach { case (a, b) =>
-        val ra = find(a)
-        val rb = find(b)
-        if (ra != rb) parent.put(ra, rb)
-      }
-      // component label = min id in the class (bytewise/ASCII ordering)
-      val minOf = new java.util.HashMap[String, String]()
-      val nodes = parent.keySet().toArray(Array.empty[String])
-      nodes.foreach { n =>
-        val r = find(n)
-        val cur = minOf.get(r)
-        if (cur == null || n.compareTo(cur) < 0) minOf.put(r, n)
-      }
-      nodes.iterator.map(n => (n, minOf.get(find(n))))
-    }.toDF("node", "component")
+    raw.as[(String, String)].coalesce(1).mapPartitions(labelPartition)
+      .toDF("node", "component")
   }
 
   /** O(log d)-round distributed loop for graphs too big for one task. */
   private def runDistributed(raw: DataFrame, maxIterations: Int,
                              checkpointInterval: Int): DataFrame = {
-    val sc = raw.sparkSession.sparkContext
+    val spark = raw.sparkSession
+    val sc = spark.sparkContext
+    import spark.implicits._
     // symmetrize once; dedup to keep join sides lean
     val sym = raw.select(col("src"), col("dst"))
       .union(raw.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
 
-    // init = identity folded with the first propagation hop
-    var labels = sym.groupBy(col("src").as("node"))
-      .agg(least(min(col("dst")), col("src")).as("component"))
+    // init = per-partition union–find labels. Partitioning by src puts ALL
+    // of a node's out-edges (sym is symmetric, so all its edges) in one
+    // task, and local union–find contracts every intra-partition path in
+    // that one pass — strictly stronger than a first propagation hop (a
+    // node's label starts at the min over its whole partition-local
+    // component, not just its direct neighbors), for the same cost class
+    // (one shuffle of sym + one aggregate). The loop then only has to
+    // propagate across the partition QUOTIENT graph, so its round count is
+    // log(quotient diameter), not log(graph diameter) — on clustered
+    // link/dedup graphs most components collapse before round 1.
+    // (A node seen as dst in other partitions gets one row per partition;
+    // groupBy-min reconciles them.)
+    var labels = sym.repartition(col("src")).as[(String, String)]
+      .mapPartitions(labelPartition)
+      .toDF("node", "component")
+      .groupBy(col("node"))
+      .agg(min(col("component")).as("component"))
       .localCheckpoint()
 
     var iter = 0

@@ -212,13 +212,22 @@ class ComponentsSpec extends AnyFunSuite {
   }
 
   test("ConnectedComponents: non-convergence THROWS instead of returning mid-propagation labels") {
-    // a 64-node chain cannot converge in 2 rounds; silent return of the
+    // a 512-node chain cannot converge in a single round once its edges are
+    // genuinely spread over partitions (the union-find init then contracts
+    // only per-partition runs and the hash-scattered quotient is still a
+    // long chain); AQE must be off here because on test-sized data it
+    // coalesces the init repartition to ONE partition, where the init is
+    // exact and one round legitimately converges. Silent return of the
     // intermediate labels would be a wrong answer (caught live in CcBench
-    // when a giant-cycle graph exceeded the old default round cap)
-    val edges = (1 until 64).map(i => (f"v$i%03d", f"v${i + 1}%03d")).toDF("src", "dst")
-    intercept[IllegalStateException] {
-      ConnectedComponents.run(edges, maxIterations = 2, unionFindMaxEdges = 0).count()
-    }
+    // when a giant-cycle graph exceeded the old default round cap).
+    val edges = (1 until 512).map(i => (f"v$i%03d", f"v${i + 1}%03d")).toDF("src", "dst")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      intercept[IllegalStateException] {
+        ConnectedComponents.run(edges, maxIterations = 1, unionFindMaxEdges = 0).count()
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("ConnectedComponents: union-find and distributed paths agree on a random multigraph") {
