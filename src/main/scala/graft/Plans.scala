@@ -16,7 +16,9 @@ object Plans {
       "sim_kmeans_assign", "sim_ivf_kmeans", "mm_feature_dups",
       "q1_pricing", "q3_top_orders", "doc_jaccard_pairs", "sim_cosine_pairs",
       "sim_topk", "sim_lsh_pairs", "sim_ivf_topk", "doc_minhash_pairs",
-      "doc_simhash_pairs", "doc_top_quality", "doc_token_stats")
+      "doc_simhash_pairs", "doc_top_quality", "doc_token_stats",
+      "doc_substring_dups", "doc_decontam", "doc_split", "doc_pii_scrub",
+      "doc_ngram_top")
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plan evidence (explain formatted)\n\n"
     sb ++= "Regenerate with `sbt \"runMain graft.Plans\"`. Things to check per plan:\n"

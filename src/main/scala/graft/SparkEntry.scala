@@ -255,6 +255,48 @@ object SparkEntry {
       TextOps.simhashPairs(table(s, dir, "documents"), maxHamming = 3)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // exact-substring (span-level) duplication ratio per document
+    "doc_substring_dups" -> ((s, dir) =>
+      TextOps.substringDupStats(table(s, dir, "documents"), windowTokens = 5)
+        .orderBy(col("doc_id"))),
+
+    // benchmark decontamination: corpus docs sharing a 5-gram with the
+    // deterministic benchmark slice (doc_id ≡ 0 mod 29); benchmark grams
+    // broadcast, corpus streams map-side
+    "doc_decontam" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextOps.decontaminate(
+          docs.filter(pmod(col("doc_id"), lit(29)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(29)) === 0), windowTokens = 5)
+        .select(col("doc_id"), col("n_hits"),
+          col("contaminated").cast("long").as("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic hash-based train/val/test split (stable under growth)
+    "doc_split" -> ((s, dir) =>
+      TextOps.hashSplit(table(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // PII redaction over a deterministically PII-augmented text column
+    // (the raw corpus carries no PII; the augmentation is replayed by the
+    // oracle, so mask+count semantics are still checked end to end)
+    "doc_pii_scrub" -> ((s, dir) => {
+      val withPii = table(s, dir, "documents").withColumn("pii_text",
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com call +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      TextOps.scrubPii(withPii, "pii_text")
+        .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+          col("n_phones").cast("long").as("n_phones"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // corpus-level top-100 bigrams (global n-gram statistics table)
+    "doc_ngram_top" -> ((s, dir) =>
+      TextOps.ngramTopK(table(s, dir, "documents"), n = 2, k = 100)),
+
     // ---- similarity search over embeddings ----
     "sim_cosine_pairs" -> ((s, dir) =>
       VectorOps.cosinePairs(table(s, dir, "embeddings"), threshold = 0.4)
@@ -666,6 +708,53 @@ object SparkEntry {
            |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
            |ORDER BY doc_a, doc_b""".stripMargin
       },
+
+      "doc_substring_dups" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |w AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-3), i -> array_to_string(t[i:i+4], ' ')))) AS gram
+          |      FROM toks WHERE len(t) >= 5),
+          |g AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+          |dup AS (SELECT w.doc_id, COUNT(*) AS dup_windows FROM w JOIN g USING (gram) WHERE g.df >= 2 GROUP BY 1),
+          |tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM w GROUP BY 1)
+          |SELECT tot.doc_id, n_windows, COALESCE(dup_windows, 0) AS dup_windows,
+          |  ROUND(CAST(COALESCE(dup_windows, 0) AS DOUBLE) / n_windows, 4) AS dup_ratio
+          |FROM tot LEFT JOIN dup ON dup.doc_id = tot.doc_id ORDER BY tot.doc_id""".stripMargin,
+
+      "doc_decontam" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |w AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-3), i -> array_to_string(t[i:i+4], ' ')))) AS gram
+          |      FROM toks WHERE len(t) >= 5),
+          |bg AS (SELECT DISTINCT gram FROM w WHERE doc_id % 29 = 0),
+          |hits AS (SELECT doc_id, COUNT(*) AS n_hits FROM w JOIN bg USING (gram) WHERE doc_id % 29 <> 0 GROUP BY 1)
+          |SELECT d.doc_id, COALESCE(n_hits, 0) AS n_hits,
+          |  CAST(COALESCE(n_hits, 0) > 0 AS BIGINT) AS contaminated
+          |FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+          |WHERE d.doc_id % 29 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+      "doc_split" ->
+        s"""WITH b AS (SELECT doc_id,
+           |  (${graft.ops.PortableHash.tokenHash31Sql("CAST(doc_id AS VARCHAR)")}) % 100 AS bucket
+           |  FROM documents)
+           |SELECT doc_id, bucket,
+           |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+           |FROM b ORDER BY doc_id""".stripMargin,
+
+      "doc_pii_scrub" ->
+        s"""WITH p AS (SELECT doc_id,
+           |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com call +1-555-' ||
+           |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii_text FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(pii_text, '${TextOps.EmailPattern}')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(pii_text, '${TextOps.PhonePattern}')) AS BIGINT) AS n_phones,
+           |  md5(regexp_replace(regexp_replace(pii_text, '${TextOps.EmailPattern}', '<EMAIL>', 'g'),
+           |      '${TextOps.PhonePattern}', '<PHONE>', 'g')) AS clean_md5
+           |FROM p ORDER BY doc_id""".stripMargin,
+
+      "doc_ngram_top" ->
+        """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+          |g AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+          |      FROM toks WHERE len(t) >= 2)
+          |SELECT gram, COUNT(*) AS n_occ FROM g GROUP BY 1 ORDER BY n_occ DESC, gram LIMIT 100""".stripMargin,
 
       "kg_ntriples" ->
         """WITH c AS (SELECT * FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey % 7 <> 0)

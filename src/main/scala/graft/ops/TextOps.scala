@@ -210,6 +210,116 @@ object TextOps {
       .select(col("node").as("doc_id"), col("component").as("keep_id"))
   }
 
+  /** Exact-substring duplication statistics (the span-level dedup signal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22 — recast from suffix arrays to a distributed gram-frequency
+    * join): for window length L tokens, a document's distinct L-gram windows
+    * are marked duplicated when the same window occurs in ≥2 distinct
+    * documents; the per-document duplicated-window ratio is the drop/trim
+    * signal. Returns (doc_id, n_windows, dup_windows, dup_ratio) for every
+    * document with ≥1 window.
+    *
+    * Scale shape: explode distinct windows → one partial-agg groupBy(gram)
+    * for document frequency → semi-join back on the same gram key (AQE
+    * coalesces the co-partitioned shuffles) → partial-agg groupBy(doc_id).
+    * Nothing is quadratic in documents and no gram list ever sits on the
+    * driver; corpus-common grams cost one long aggregation cell, not a join
+    * bucket.
+    */
+  def substringDupStats(docs: DataFrame, windowTokens: Int): DataFrame = {
+    val w = shingles(docs, windowTokens).localCheckpoint()
+    val dupGrams = w.groupBy(col("shingle"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("shingle"))
+    val dupPerDoc = w.join(dupGrams, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_windows"))
+    w.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        round(coalesce(col("dup_windows"), lit(0L)).cast("double") / col("n_windows"), 4)
+          .as("dup_ratio"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing ≥1 L-token
+    * gram with any benchmark document (the n-gram-overlap test used to
+    * scrub eval sets out of training corpora). Returns every corpus doc with
+    * its distinct shared-gram count and a contaminated flag.
+    *
+    * Scale shape: the benchmark gram set is tiny relative to the corpus
+    * (eval suites are ~10⁴-10⁶ grams vs 10¹²-gram corpora), so it is
+    * explicitly `broadcast()` — the corpus side streams map-side through a
+    * BroadcastHashJoin and the only shuffle is the per-doc partial-agg
+    * count. Grams are md5-hashed before the join so the broadcast build
+    * side carries fixed-width keys, not window text.
+    */
+  def decontaminate(docs: DataFrame, bench: DataFrame, windowTokens: Int): DataFrame = {
+    val corpusGrams = shingles(docs, windowTokens)
+      .select(col("doc_id"), md5(col("shingle")).as("g"))
+    val benchGrams = broadcast(
+      shingles(bench, windowTokens).select(md5(col("shingle")).as("g")).distinct())
+    val hits = corpusGrams.join(benchGrams, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    docs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Deterministic train/val/test assignment by engine-portable id hash:
+    * split = hash(doc_id) mod 100 against [trainPct, trainPct+valPct)
+    * boundaries. Hash-based (not random) so membership is STABLE under
+    * corpus growth, reshuffling, and re-runs — adding documents never moves
+    * an existing one across splits, the property a training pipeline needs
+    * for honest eval. Pure codegen'd projection; embarrassingly parallel.
+    */
+  def hashSplit(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val bucket = pmod(PortableHash.tokenHash31(col("doc_id").cast("string")), lit(100L))
+    docs.select(col("doc_id"), bucket.as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Engine-portable PII patterns (identical semantics under Java regex and
+    * RE2): no backreferences, no lookaround, explicit character classes.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val PhonePattern = "\\+1-[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction over an arbitrary text column: counts and masks email
+    * addresses and phone numbers (regexp patterns chosen for identical Java
+    * regex / RE2 semantics so the oracle replays them). One codegen'd
+    * projection — no UDFs, no shuffle; at 100 TB this is scan-bound.
+    */
+  def scrubPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailPattern)))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(PhonePattern)))
+      .withColumn("clean_text",
+        regexp_replace(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>"))
+
+  /** Corpus-level top-k n-grams by total occurrence count (the global
+    * vocabulary/statistics table of a training-data pipeline).
+    * Deterministic order: count desc, gram asc.
+    *
+    * Scale shape: occurrence windows explode map-side into a partial-agg
+    * groupBy(gram); the final per-partition top-k + driver merge is
+    * TakeOrderedAndProject, so only k rows ever leave each partition.
+    */
+  def ngramTopK(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val t = tokens(col("text"))
+    val grams = when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(explode(grams).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("gram").asc)
+      .limit(k)
+  }
+
   /** Near-equal layout of the 62-bit simhash into `nBlocks` contiguous
     * blocks, as (offset, width) pairs. With nBlocks = maxHamming + 1 this is
     * the classic pigeonhole banding (two hashes within Hamming distance d

@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.spark.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data pipeline operators added in round 3: exact-substring
+  * duplication stats, benchmark decontamination, deterministic hash split,
+  * PII redaction, corpus n-gram top-k. Each is checked on hand-computable
+  * corpora; the driver-facing variants are additionally oracle-gated via
+  * SparkEntry (doc_substring_dups / doc_decontam / doc_split /
+  * doc_pii_scrub / doc_ngram_top).
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("substringDupStats: shared windows counted per doc, singles excluded") {
+    // d1/d2 share the window "a b c"; d3 is disjoint; d4 too short for L=3
+    val docs = docsOf(
+      1L -> "a b c x y",
+      2L -> "q a b c z",
+      3L -> "p q r s t",
+      4L -> "u v")
+    val out = TextOps.substringDupStats(docs, windowTokens = 3).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L)) // doc 4 has no windows
+    assert(out(1L) == ((3L, 1L, 0.3333)))
+    assert(out(2L) == ((3L, 1L, 0.3333)))
+    assert(out(3L) == ((3L, 0L, 0.0)))
+  }
+
+  test("substringDupStats: within-doc repeats don't self-duplicate") {
+    // the window "a b c" occurs twice inside ONE doc — df counts distinct
+    // docs, so it must not be flagged
+    val docs = docsOf(1L -> "a b c a b c", 2L -> "x y z w v")
+    val out = TextOps.substringDupStats(docs, windowTokens = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("decontaminate: flags gram overlap with benchmark, broadcast plan") {
+    val corpus = docsOf(
+      10L -> "the quick brown fox jumps",   // shares "quick brown fox" with bench
+      11L -> "totally unrelated text here now",
+      12L -> "very quick brown fox inside") // shares too
+    val bench = docsOf(99L -> "a quick brown fox runs far")
+    val res = TextOps.decontaminate(corpus, bench, windowTokens = 3)
+    val out = res.collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(10L)._2 && out(12L)._2 && !out(11L)._2)
+    assert(out(11L)._1 == 0L)
+    // the benchmark gram set must be the broadcast build side
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("hashSplit: stable under corpus growth, buckets in range, splits partition") {
+    val base = (0L until 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val grown = (0L until 600L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = TextOps.hashSplit(base).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    val b = TextOps.hashSplit(grown).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    // growth never moves an existing doc (THE property of hash splits)
+    a.foreach { case (id, v) => assert(b(id) == v) }
+    assert(a.values.forall { case (bk, _) => bk >= 0 && bk < 100 })
+    val splits = b.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(splits.keySet == Set("train", "val", "test"))
+    assert(splits("train") > splits("val") && splits("train") > splits("test"))
+    // boundaries honored exactly
+    b.values.foreach { case (bk, s) =>
+      val expect = if (bk < 90) "train" else if (bk < 95) "val" else "test"
+      assert(s == expect)
+    }
+  }
+
+  test("scrubPii: masks and counts emails and phones, leaves clean text alone") {
+    val df = Seq(
+      (1L, "write to alice.smith+dev@mail.example.org or call +1-555-0199 now"),
+      (2L, "no pii in this row at all"),
+      (3L, "two mails: a@b.co and c_d%x@y-z.io plus +1-800-1234 +1-800-12345"))
+      .toDF("doc_id", "text")
+    val out = TextOps.scrubPii(df, "text")
+      .select($"doc_id", $"n_emails", $"n_phones", $"clean_text").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._2 == 1)
+    assert(out(1L)._3 == "write to <EMAIL> or call <PHONE> now")
+    assert(out(2L) == ((0, 0, "no pii in this row at all")))
+    // the 5-digit run still matches on its 4-digit prefix (bounded patterns
+    // have no word anchors by design — RE2 compatibility)
+    assert(out(3L)._1 == 2 && out(3L)._2 == 2)
+  }
+
+  test("ngramTopK: counts occurrences (not distinct docs), deterministic ties") {
+    val docs = docsOf(1L -> "a b a b", 2L -> "a b c", 3L -> "z")
+    val out = TextOps.ngramTopK(docs, n = 2, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // "a b" occurs 3 times (twice in doc1, once in doc2); ties break by gram
+    assert(out.head == (("a b", 3L)))
+    assert(out.toSeq == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+}
