@@ -297,6 +297,36 @@ object SparkEntry {
     "doc_ngram_top" -> ((s, dir) =>
       TextOps.ngramTopK(table(s, dir, "documents"), n = 2, k = 100)),
 
+    // deterministic stratified sampling: per-stratum hash-gated keep rates
+    "doc_sample_strata" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val sampled = TextOps.stratifiedSample(docs, "source",
+        Map("src0" -> 500, "src1" -> 100), defaultPerMille = 200)
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+        .join(sampled.groupBy(col("source")).agg(count(lit(1)).as("n_sampled")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_total"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy(col("source"))
+    }),
+
+    // Gopher-style per-document quality rule filters
+    "doc_quality_filters" -> ((s, dir) =>
+      TextOps.qualityFilters(table(s, dir, "documents"))
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("stop_ratio"), col("distinct_ratio"),
+          col("ok_words").cast("long").as("ok_words"),
+          col("ok_len").cast("long").as("ok_len"),
+          col("ok_stop").cast("long").as("ok_stop"),
+          col("ok_rep").cast("long").as("ok_rep"),
+          col("keep").cast("long").as("keep"))
+        .orderBy(col("doc_id"))),
+
+    // unigram corpus-rarity score (integer surprisal proxy — engine-exact)
+    "doc_rarity" -> ((s, dir) =>
+      TextOps.unigramRarity(table(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // ---- similarity search over embeddings ----
     "sim_cosine_pairs" -> ((s, dir) =>
       VectorOps.cosinePairs(table(s, dir, "embeddings"), threshold = 0.4)
@@ -755,6 +785,45 @@ object SparkEntry {
           |g AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
           |      FROM toks WHERE len(t) >= 2)
           |SELECT gram, COUNT(*) AS n_occ FROM g GROUP BY 1 ORDER BY n_occ DESC, gram LIMIT 100""".stripMargin,
+
+      "doc_sample_strata" ->
+        s"""WITH s AS (SELECT source, doc_id,
+           |  (${graft.ops.PortableHash.tokenHash31Sql("source || ':' || CAST(doc_id AS VARCHAR)")}) % 1000 AS h
+           |  FROM documents)
+           |SELECT source, COUNT(*) AS n_total,
+           |  CAST(COUNT(*) FILTER (WHERE h < CASE WHEN source = 'src0' THEN 500
+           |    WHEN source = 'src1' THEN 100 ELSE 200 END) AS BIGINT) AS n_sampled
+           |FROM s GROUP BY source ORDER BY source""".stripMargin,
+
+      "doc_quality_filters" ->
+        """WITH q AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |m AS (SELECT doc_id, len(t) AS n_words,
+          |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(t, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS sum_len,
+          |  len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS n_stop,
+          |  len(list_distinct(t)) AS n_distinct FROM q),
+          |r AS (SELECT doc_id, n_words,
+          |  CAST(sum_len AS DOUBLE) / GREATEST(n_words, 1) AS mean_raw,
+          |  CAST(n_stop AS DOUBLE) / GREATEST(n_words, 1) AS stop_raw,
+          |  CAST(n_distinct AS DOUBLE) / GREATEST(n_words, 1) AS dist_raw FROM m)
+          |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+          |  ROUND(mean_raw, 4) AS mean_word_len, ROUND(stop_raw, 4) AS stop_ratio,
+          |  ROUND(dist_raw, 4) AS distinct_ratio,
+          |  CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS ok_words,
+          |  CAST(mean_raw >= 3.0 AND mean_raw <= 10.0 AS BIGINT) AS ok_len,
+          |  CAST(stop_raw >= 0.02 AS BIGINT) AS ok_stop,
+          |  CAST(dist_raw >= 0.3 AS BIGINT) AS ok_rep,
+          |  CAST(n_words >= 50 AND n_words <= 100000 AND mean_raw >= 3.0 AND mean_raw <= 10.0
+          |    AND stop_raw >= 0.02 AND dist_raw >= 0.3 AS BIGINT) AS keep
+          |FROM r ORDER BY doc_id""".stripMargin,
+
+      "doc_rarity" ->
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+          |cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1),
+          |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+          |r AS (SELECT tok, (length(bin(n)) - 1) - (length(bin(c)) - 1) AS rarity FROM cnt, tot)
+          |SELECT doc_id, COUNT(*) AS n_tokens,
+          |  ROUND(CAST(SUM(rarity) AS DOUBLE) / COUNT(*), 4) AS mean_rarity
+          |FROM tok JOIN r USING (tok) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "kg_ntriples" ->
         """WITH c AS (SELECT * FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey % 7 <> 0)

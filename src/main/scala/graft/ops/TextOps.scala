@@ -320,6 +320,88 @@ object TextOps {
       .limit(k)
   }
 
+  /** Deterministic stratified sampling: keep a document iff its portable
+    * (stratum:doc_id) hash mod 1000 falls under the stratum's per-mille
+    * rate. Like [[hashSplit]], membership is stable under corpus growth and
+    * independent of partitioning — a re-run or a bigger corpus never flips
+    * an existing doc's fate, which random sampling cannot promise. One
+    * codegen'd filter; the stratum→rate map folds into a literal CASE (a
+    * pipeline has dozens of strata, not millions).
+    */
+  def stratifiedSample(docs: DataFrame, stratumCol: String,
+                       ratesPerMille: Map[String, Int],
+                       defaultPerMille: Int): DataFrame = {
+    val rate = ratesPerMille.toSeq.sortBy(_._1).foldLeft(lit(defaultPerMille)) {
+      case (acc, (s, r)) => when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    val h = pmod(PortableHash.tokenHash31(
+      concat(col(stratumCol), lit(":"), col("doc_id").cast("string"))), lit(1000L))
+    docs.filter(h < rate)
+  }
+
+  /** Gopher-style document quality rule filters (Rae et al. 2021 §A1.1,
+    * recast to this corpus's scale): per-doc boolean rules plus the
+    * conjunction `keep`. All rule inputs are exact integer/ratio
+    * arithmetic over the token array — one codegen'd projection.
+    */
+  def qualityFilters(docs: DataFrame, minWords: Int = 50, maxWords: Int = 100000,
+                     minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                     minStopRatio: Double = 0.02, minDistinctRatio: Double = 0.3): DataFrame = {
+    val t = tokens(col("text"))
+    val nWords = size(t)
+    val meanLen = aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+      greatest(nWords, lit(1))
+    val stopArr = array(stopwords.map(lit): _*)
+    val stopRatio = size(filter(t, x => array_contains(stopArr, x))).cast("double") /
+      greatest(nWords, lit(1))
+    val distinctRatio = size(array_distinct(t)).cast("double") / greatest(nWords, lit(1))
+    val okWords = nWords >= minWords && nWords <= maxWords
+    val okLen = meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen
+    val okStop = stopRatio >= minStopRatio
+    val okRep = distinctRatio >= minDistinctRatio
+    docs.select(col("doc_id"), nWords.cast("long").as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(distinctRatio, 4).as("distinct_ratio"),
+      okWords.as("ok_words"), okLen.as("ok_len"), okStop.as("ok_stop"),
+      okRep.as("ok_rep"), (okWords && okLen && okStop && okRep).as("keep"))
+  }
+
+  /** Corpus-frequency rarity score (the unigram-LM quality signal of
+    * CCNet-style filters, made engine-exact): token rarity =
+    * ilog2(corpus token total) − ilog2(count(token)), a pure-integer
+    * surprisal proxy (floating log() is NOT bit-portable across engines —
+    * JVM Math.log and C libm may differ in the last ulp, and FP sums
+    * reorder under parallel aggregation; integer ilog2 via bin-string
+    * length sidesteps both). Doc score = mean token rarity; high = rare
+    * vocabulary, low = boilerplate.
+    *
+    * Scale shape: the unigram count table is vocabulary-sized (10⁸+ rows at
+    * corpus scale), so it is NOT broadcast — tokens join counts
+    * co-partitioned on the token key (partial-agg count, shuffle join on
+    * the same key that AQE coalesces), then one partial-agg mean per doc.
+    */
+  def unigramRarity(docs: DataFrame): DataFrame = {
+    def ilog2(c: Column): Column = length(bin(c)) - 1
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .localCheckpoint() // tokenize once for both the counts and the join
+    val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    // the corpus total is ONE scalar — taking it as a count action over the
+    // checkpointed token table and folding ilog2(total) into a literal
+    // keeps the vocabulary join plan clean (attaching a 1-row frame via a
+    // constant-key join degenerates to a BroadcastNestedLoopJoin, and an
+    // empty-frame window would funnel the whole vocabulary through one
+    // partition); same scalar-strategy precedent as ConnectedComponents.run
+    val totalIlog2 = 63 - java.lang.Long.numberOfLeadingZeros(tok.count())
+    val rarity = counts
+      .withColumn("rarity", (lit(totalIlog2) - ilog2(col("c"))).cast("long"))
+      .select(col("tok"), col("rarity"))
+    tok.join(rarity, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("rarity")).cast("double") / count(lit(1)), 4).as("mean_rarity"))
+  }
+
   /** Near-equal layout of the 62-bit simhash into `nBlocks` contiguous
     * blocks, as (offset, width) pairs. With nBlocks = maxHamming + 1 this is
     * the classic pigeonhole banding (two hashes within Hamming distance d

@@ -93,6 +93,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(3L)._1 == 2 && out(3L)._2 == 2)
   }
 
+  test("stratifiedSample: per-stratum rates honored, membership stable under growth") {
+    def corpus(n: Long) = (0L until n)
+      .map(i => (i, s"doc $i", s"src${i % 4}")).toDF("doc_id", "text", "source")
+    val rates = Map("src0" -> 1000, "src1" -> 0) // keep all of src0, none of src1
+    val a = TextOps.stratifiedSample(corpus(400), "source", rates, defaultPerMille = 300)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(a.count(_._2 == "src0") == 100) // rate 1000‰ keeps everything
+    assert(a.count(_._2 == "src1") == 0)   // rate 0‰ keeps nothing
+    val mid = a.count(t => t._2 == "src2" || t._2 == "src3")
+    assert(mid > 20 && mid < 100) // ~30% of 200, hash-distributed
+    // growth never changes an existing doc's membership
+    val b = TextOps.stratifiedSample(corpus(800), "source", rates, defaultPerMille = 300)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(a.subsetOf(b))
+    assert(b.filter(_._1 < 400) == a)
+  }
+
+  test("qualityFilters: rule booleans and keep conjunction are exact") {
+    val docs = docsOf(
+      1L -> Seq.fill(60)("a").mkString(" "),            // 60 words, mean len 1, all stopwords, distinct_ratio tiny
+      2L -> (1 to 60).map(i => s"word$i").mkString(" "), // 60 distinct words, no stopwords
+      3L -> ("the and " + (1 to 58).map(i => s"word$i").mkString(" ")))
+    val out = TextOps.qualityFilters(docs).collect()
+      .map(r => (r.getLong(0), (r.getBoolean(5), r.getBoolean(6), r.getBoolean(7),
+        r.getBoolean(8), r.getBoolean(9)))).toMap
+    // doc1: words ok, mean len 1 (<3) fails, stop ok, repetition fails
+    assert(out(1L) == ((true, false, true, false, false)))
+    // doc2: words ok, len ok, stopwords fail, distinct ok
+    assert(out(2L)._1 && out(2L)._2 && !out(2L)._3 && out(2L)._4 && !out(2L)._5)
+    // doc3: everything passes
+    assert(out(3L) == ((true, true, true, true, true)))
+  }
+
+  test("unigramRarity: integer surprisal from corpus counts, exact") {
+    // corpus: "a" x8, "b" x4, "c" x4 → total 16 (ilog2=4);
+    // rarity(a)=4-3=1, rarity(b)=rarity(c)=4-2=2
+    val docs = docsOf(
+      1L -> "a a a a a a a a", // 8 tokens rarity 1 → mean 1.0
+      2L -> "b b b b c c c c") // 8 tokens rarity 2 → mean 2.0
+    val out = TextOps.unigramRarity(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((8L, 1.0)))
+    assert(out(2L) == ((8L, 2.0)))
+  }
+
   test("ngramTopK: counts occurrences (not distinct docs), deterministic ties") {
     val docs = docsOf(1L -> "a b a b", 2L -> "a b c", 3L -> "z")
     val out = TextOps.ngramTopK(docs, n = 2, k = 3).collect()
