@@ -237,6 +237,23 @@ object SparkEntry {
     "kg_ntriples" -> ((s, dir) =>
       ExtractPipeline.toNTriples(customerTriples(s, dir)).orderBy(col("value"))),
 
+    // BGP query over the extracted KG (consumer-side Queryable role):
+    // persons with their name and their nation's name — a 4-pattern
+    // connected join solved declaratively (constants push to the scan,
+    // bindings join pairwise; cartesian refused by construction)
+    "kg_bgp_person_nation" -> ((s, dir) => {
+      import graft.spark.GraphQuery.{C, V}
+      // materialize the extracted graph once — each of the 4 patterns scans
+      // the triple table, and without this the extraction pipeline would
+      // re-run per pattern (a real deployment queries a PERSISTED graph)
+      graft.spark.GraphQuery.bgp(customerTriples(s, dir).toDF().localCheckpoint(), Seq(
+          (V("c"), C(RdfType), C("http://schema.org/Person")),
+          (V("c"), C("http://schema.org/name"), V("name")),
+          (V("c"), C("http://schema.org/nation"), V("nat")),
+          (V("nat"), C("http://schema.org/name"), V("nat_name"))))
+        .orderBy(col("c"))
+    }),
+
     // probabilistic ops on engine-portable hashes (PortableHash) — every
     // one oracle-checked bit-for-bit since round 2
     "doc_minhash_pairs" -> ((s, dir) =>
@@ -838,6 +855,14 @@ object SparkEntry {
           |  UNION ALL SELECT DISTINCT printf('<http://ex.org/nation/%d> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://schema.org/Country> .', c_nationkey) FROM c
           |  UNION ALL SELECT DISTINCT printf('<http://ex.org/nation/%d> <http://schema.org/name> "%s"@en .', c_nationkey, n_name) FROM c
           |) t ORDER BY value""".stripMargin,
+
+      "kg_bgp_person_nation" ->
+        """SELECT 'http://ex.org/customer/' || CAST(c_custkey AS VARCHAR) AS c,
+          |  c_name AS name,
+          |  'http://ex.org/nation/' || CAST(c_nationkey AS VARCHAR) AS nat,
+          |  n_name AS nat_name
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |WHERE c_custkey % 7 <> 0 ORDER BY c""".stripMargin,
 
       "sim_lsh_pairs" ->
         s"""WITH tb AS (SELECT vec_id, t, ${lshBucketSql("embedding", "t", 8)} AS bucket

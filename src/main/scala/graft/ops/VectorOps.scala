@@ -390,7 +390,11 @@ object VectorOps {
     */
   def nearDupGroups(embs: DataFrame, nBits: Int, nTables: Int,
                     threshold: Double): DataFrame = {
-    val pairs = lshBucketedPairs(embs, nBits, nTables, threshold)
+    // the LSH pair pipeline scans its input three times (bucket candidates
+    // + both exact-verify join sides); callers often pass a CONSTRUCTED
+    // corpus (planted perturbations, featurized media) whose projection is
+    // expensive — materialize it once up front
+    val pairs = lshBucketedPairs(embs.localCheckpoint(), nBits, nTables, threshold)
     val edges = pairs.select(col("vec_a").cast("string").as("src"),
       col("vec_b").cast("string").as("dst"))
     graft.spark.ConnectedComponents.run(edges)
@@ -404,8 +408,13 @@ object VectorOps {
     */
   def lshRecall(embs: DataFrame, nBits: Int, nTables: Int, threshold: Double,
                 eps: Double = 0.05, seed: Int = 999983): DataFrame = {
+    // materialize the planted corpus once: the per-dim LCG perturbation is
+    // the most expensive projection here, and without a checkpoint BOTH
+    // branches (and both replicated sides of the exact blocked self-join)
+    // recompute it from scratch
     val corpus = embs.select(col("vec_id").cast("string").as("vec_id"), col("embedding"))
       .unionByName(perturbed(embs, eps, seed, "_p"))
+      .localCheckpoint()
     val exact = cosinePairs(corpus, threshold)
       .agg(count(lit(1)).as("n_exact"))
     val lsh = lshBucketedPairs(corpus, nBits, nTables, threshold)

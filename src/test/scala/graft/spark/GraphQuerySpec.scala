@@ -1,0 +1,82 @@
+package graft.spark
+
+import graft.spark.GraphQuery.{C, V, bgp}
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphQuerySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val TypeP = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+  // (subj, pred, obj_iri, obj_lexical) rows; other Triple columns unused
+  private def graph = Seq(
+    ("p1", TypeP, "Person", null),
+    ("p2", TypeP, "Person", null),
+    ("d1", TypeP, "Doc", null),
+    ("p1", "name", null, "Ann"),
+    ("p2", "name", null, "Bob"),
+    ("p1", "knows", "p2", null),
+    ("p2", "knows", "p1", null),
+    ("p1", "likes", "p1", null))
+    .toDF("subj", "pred", "obj_iri", "obj_lexical")
+
+  test("bgp: multi-pattern join binds across subject and object positions") {
+    // persons and the NAME of someone they know
+    val out = bgp(graph, Seq(
+      (V("x"), C(TypeP), C("Person")),
+      (V("x"), C("knows"), V("y")),
+      (V("y"), C("name"), V("n"))))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(("p1", "p2", "Bob"), ("p2", "p1", "Ann")))
+  }
+
+  test("bgp: literal and IRI objects share one binding domain") {
+    val out = bgp(graph, Seq((V("s"), C("name"), V("v"))))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("p1", "Ann"), ("p2", "Bob")))
+  }
+
+  test("bgp: repeated variable inside one pattern filters equality") {
+    val out = bgp(graph, Seq((V("x"), C("likes"), V("x"))))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("p1")) // p1 likes p1; knows edges are not reflexive
+  }
+
+  test("bgp: disconnected pattern set is refused, never a cartesian") {
+    val e = intercept[IllegalArgumentException] {
+      bgp(graph, Seq(
+        (V("a"), C("name"), V("b")),
+        (V("c"), C("knows"), V("d"))))
+    }
+    assert(e.getMessage.contains("disconnected"))
+  }
+
+  test("bgp: join order is connectivity-greedy (listed order may interleave)") {
+    // patterns listed so #2 is disconnected from #1 but #3 bridges them:
+    // the greedy order must pick #3 before #2 instead of failing
+    val out = bgp(graph, Seq(
+      (V("x"), C(TypeP), C("Person")),
+      (V("y"), C("name"), V("n")),
+      (V("x"), C("knows"), V("y"))))
+    assert(out.count() == 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cartesian leaked into:\n$plan")
+  }
+
+  test("bgp: driver-shaped 4-pattern query matches hand computation on extracted triples") {
+    val turns = Seq(
+      ("c1", 0, """<div itemscope itemtype="http://schema.org/Person" itemid="http://x/p1"><span itemprop="name">Ann</span><link itemprop="nation" href="http://x/n1"/></div>"""),
+      ("c2", 0, """<div itemscope itemtype="http://schema.org/Country" itemid="http://x/n1"><span itemprop="name">Norway</span></div>"""))
+      .toDF("conv_id", "turn_idx", "text")
+    val triples = ExtractPipeline.extract(turns).toDF()
+    val out = bgp(triples, Seq(
+      (V("p"), C(TypeP), C("http://schema.org/Person")),
+      (V("p"), C("http://schema.org/name"), V("name")),
+      (V("p"), C("http://schema.org/nation"), V("nat")),
+      (V("nat"), C("http://schema.org/name"), V("nat_name"))))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(("http://x/p1", "Ann", "http://x/n1", "Norway")))
+  }
+}
