@@ -344,6 +344,31 @@ object SparkEntry {
       TextOps.unigramRarity(table(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // capstone composition: the final training-set selection =
+    // train split ∧ quality rules ∧ not contaminated (benchmark slice
+    // itself excluded) ∧ not a dropped near-duplicate. Exactly the chain a
+    // production corpus build runs; every stage is itself oracle-gated
+    // above, and the composed keep-list is oracle-checked here end to end.
+    "doc_train_set" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val train = TextOps.hashSplit(docs)
+        .filter(col("split") === "train").select(col("doc_id"))
+      val quality = TextOps.qualityFilters(docs)
+        .filter(col("keep")).select(col("doc_id"))
+      val clean = TextOps.decontaminate(
+          docs.filter(pmod(col("doc_id"), lit(29)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(29)) === 0), windowTokens = 5)
+        .filter(!col("contaminated")).select(col("doc_id"))
+      val dupDrops = TextOps.nearDupGroups(docs, k = 3,
+          numHashes = 32, bands = 16, threshold = 0.3)
+        .filter(col("doc_id") =!= col("keep_id"))
+        .select(col("doc_id").cast("long").as("doc_id"))
+      train.join(quality, Seq("doc_id"))
+        .join(clean, Seq("doc_id"))
+        .join(dupDrops, Seq("doc_id"), "left_anti")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- similarity search over embeddings ----
     "sim_cosine_pairs" -> ((s, dir) =>
       VectorOps.cosinePairs(table(s, dir, "embeddings"), threshold = 0.4)
@@ -841,6 +866,40 @@ object SparkEntry {
           |SELECT doc_id, COUNT(*) AS n_tokens,
           |  ROUND(CAST(SUM(rarity) AS DOUBLE) / COUNT(*), 4) AS mean_rarity
           |FROM tok JOIN r USING (tok) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "doc_train_set" ->
+        s"""WITH RECURSIVE $minhashCtes,
+           |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.3),
+           |edg AS (SELECT CAST(doc_a AS VARCHAR) AS a, CAST(doc_b AS VARCHAR) AS b FROM p
+           |        UNION ALL SELECT CAST(doc_b AS VARCHAR), CAST(doc_a AS VARCHAR) FROM p),
+           |nodes AS (SELECT DISTINCT a AS node FROM edg),
+           |reach(node, lbl) AS (
+           |  SELECT node, node FROM nodes
+           |  UNION
+           |  SELECT e.b, r.lbl FROM reach r JOIN edg e ON e.a = r.node),
+           |drops AS (SELECT CAST(node AS BIGINT) AS doc_id FROM reach GROUP BY node HAVING MIN(lbl) <> node),
+           |q_m AS (SELECT doc_id, len(t) AS n_words,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(t, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS sum_len,
+           |  len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS n_stop,
+           |  len(list_distinct(t)) AS n_distinct FROM toks),
+           |q_keep AS (SELECT doc_id FROM q_m WHERE n_words >= 50 AND n_words <= 100000
+           |  AND CAST(sum_len AS DOUBLE) / GREATEST(n_words, 1) >= 3.0
+           |  AND CAST(sum_len AS DOUBLE) / GREATEST(n_words, 1) <= 10.0
+           |  AND CAST(n_stop AS DOUBLE) / GREATEST(n_words, 1) >= 0.02
+           |  AND CAST(n_distinct AS DOUBLE) / GREATEST(n_words, 1) >= 0.3),
+           |s_tr AS (SELECT doc_id FROM documents
+           |  WHERE (${graft.ops.PortableHash.tokenHash31Sql("CAST(doc_id AS VARCHAR)")}) % 100 < 90),
+           |w5 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-3), i -> array_to_string(t[i:i+4], ' ')))) AS gram
+           |       FROM toks WHERE len(t) >= 5),
+           |bg5 AS (SELECT DISTINCT gram FROM w5 WHERE doc_id % 29 = 0),
+           |contam AS (SELECT DISTINCT w5.doc_id FROM w5 JOIN bg5 USING (gram) WHERE w5.doc_id % 29 <> 0)
+           |SELECT d.doc_id FROM documents d
+           |WHERE d.doc_id IN (SELECT doc_id FROM s_tr)
+           |  AND d.doc_id IN (SELECT doc_id FROM q_keep)
+           |  AND d.doc_id % 29 <> 0
+           |  AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+           |  AND d.doc_id NOT IN (SELECT doc_id FROM drops)
+           |ORDER BY d.doc_id""".stripMargin,
 
       "kg_ntriples" ->
         """WITH c AS (SELECT * FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey % 7 <> 0)

@@ -138,6 +138,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2L) == ((8L, 2.0)))
   }
 
+  test("doc_train_set composition: keep-list is consistent with each stage's own verdict") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val kept = graft.SparkEntry.queries("doc_train_set")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && kept.size < docs.count())
+    val train = TextOps.hashSplit(docs).filter(col("split") === "train")
+      .collect().map(_.getLong(0)).toSet
+    val keep = TextOps.qualityFilters(docs).filter(col("keep"))
+      .collect().map(_.getLong(0)).toSet
+    val contaminated = TextOps.decontaminate(
+        docs.filter(pmod(col("doc_id"), lit(29)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(29)) === 0), windowTokens = 5)
+      .filter(col("contaminated")).collect().map(_.getLong(0)).toSet
+    val dupDrops = TextOps.nearDupGroups(docs, 3, 32, 16, 0.3)
+      .filter(col("doc_id") =!= col("keep_id"))
+      .collect().map(_.getString(0).toLong).toSet
+    assert(kept.subsetOf(train))
+    assert(kept.subsetOf(keep))
+    assert(kept.intersect(contaminated).isEmpty)
+    assert(kept.intersect(dupDrops).isEmpty)
+    assert(kept.forall(_ % 29 != 0)) // benchmark slice itself excluded
+  }
+
   test("ngramTopK: counts occurrences (not distinct docs), deterministic ties") {
     val docs = docsOf(1L -> "a b a b", 2L -> "a b c", 3L -> "z")
     val out = TextOps.ngramTopK(docs, n = 2, k = 3).collect()
