@@ -344,6 +344,11 @@ object SparkEntry {
       TextOps.unigramRarity(table(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // fixed-window token chunking with stride (pretraining sample prep)
+    "doc_chunks" -> ((s, dir) =>
+      TextOps.chunk(table(s, dir, "documents"), chunkTokens = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // capstone composition: the final training-set selection =
     // train split ∧ quality rules ∧ not contaminated (benchmark slice
     // itself excluded) ∧ not a dropped near-duplicate. Exactly the chain a
@@ -866,6 +871,14 @@ object SparkEntry {
           |SELECT doc_id, COUNT(*) AS n_tokens,
           |  ROUND(CAST(SUM(rarity) AS DOUBLE) / COUNT(*), 4) AS mean_rarity
           |FROM tok JOIN r USING (tok) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "doc_chunks" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |c AS (SELECT doc_id, unnest(list_transform(range(0, CAST(floor((len(t)-1)/24) AS BIGINT) + 1),
+          |      i -> {'ci': i, 'ch': t[i*24+1 : i*24+32]})) AS s FROM toks)
+          |SELECT doc_id, s.ci AS chunk_idx, len(s.ch) AS n_tokens,
+          |  md5(array_to_string(s.ch, ' ')) AS chunk_md5
+          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
       "doc_train_set" ->
         s"""WITH RECURSIVE $minhashCtes,

@@ -402,6 +402,24 @@ object TextOps {
         round(sum(col("rarity")).cast("double") / count(lit(1)), 4).as("mean_rarity"))
   }
 
+  /** Fixed-window token chunking with overlap (the pretraining sample-prep
+    * stage: long documents become training-sized sequences; `stride` <
+    * `chunkTokens` keeps context across boundaries). Chunk starts are
+    * 0, stride, 2·stride, … while they fall inside the document; the last
+    * chunk may be short. One codegen'd explode — embarrassingly parallel,
+    * no shuffle; chunk identity travels as (doc_id, chunk_idx).
+    */
+  def chunk(docs: DataFrame, chunkTokens: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkTokens >= stride, "need 0 < stride <= chunkTokens")
+    val t = tokens(col("text"))
+    val starts = sequence(lit(0), floor((size(t) - 1) / stride).cast("int"))
+    docs.select(col("doc_id"),
+        posexplode(transform(starts, i => slice(t, i * stride + 1, lit(chunkTokens)))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        size(col("col")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("col"))).as("chunk_md5"))
+  }
+
   /** Near-equal layout of the 62-bit simhash into `nBlocks` contiguous
     * blocks, as (offset, width) pairs. With nBlocks = maxHamming + 1 this is
     * the classic pigeonhole banding (two hashes within Hamming distance d

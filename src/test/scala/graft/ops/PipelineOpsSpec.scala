@@ -162,6 +162,64 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(kept.forall(_ % 29 != 0)) // benchmark slice itself excluded
   }
 
+  test("chunk: stride windows cover every token, overlap is exact, last chunk short") {
+    val docs = docsOf(1L -> (1 to 50).map(i => s"t$i").mkString(" "), 2L -> "a b")
+    val out = TextOps.chunk(docs, chunkTokens = 32, stride = 24).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // doc1: starts 0, 24, 48 → sizes 32, 26, 2
+    assert(out == Map((1L, 0L) -> 32L, (1L, 1L) -> 26L, (1L, 2L) -> 2L, (2L, 0L) -> 2L))
+    // deterministic chunk hashing: same call twice, identical md5s
+    val h1 = TextOps.chunk(docs, 32, 24).collect().map(_.getString(3)).toSeq
+    val h2 = TextOps.chunk(docs, 32, 24).collect().map(_.getString(3)).toSeq
+    assert(h1 == h2)
+  }
+
+  test("scrubPii property: planted emails/phones are always counted and fully masked") {
+    val rnd = new scala.util.Random(20260817L)
+    val words = Seq("alpha", "beta", "gamma", "delta", "x1", "z9")
+    val rows = (0 until 200).map { i =>
+      val nE = rnd.nextInt(3); val nP = rnd.nextInt(3)
+      val base = Seq.fill(5 + rnd.nextInt(10))(words(rnd.nextInt(words.size)))
+      val piis = Seq.fill(nE)(s"u${rnd.nextInt(1000)}@ex${rnd.nextInt(10)}.org") ++
+        Seq.fill(nP)(f"+1-${rnd.nextInt(1000)}%03d-${rnd.nextInt(10000)}%04d")
+      val text = rnd.shuffle(base ++ piis).mkString(" ")
+      (i.toLong, text, nE, nP)
+    }
+    val df = rows.map(r => (r._1, r._2)).toDF("doc_id", "text")
+    val out = TextOps.scrubPii(df, "text")
+      .select($"doc_id", $"n_emails", $"n_phones", $"clean_text").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    rows.foreach { case (id, _, nE, nP) =>
+      val (gotE, gotP, clean) = out(id)
+      assert(gotE == nE && gotP == nP, s"doc $id: got ($gotE,$gotP) want ($nE,$nP)")
+      assert(!clean.contains("@") && !clean.contains("+1-"), s"doc $id leaked PII: $clean")
+    }
+  }
+
+  test("decontaminate property: every planted benchmark window is detected") {
+    val rnd = new scala.util.Random(20260818L)
+    val vocab = (0 until 40).map(i => s"v$i")
+    def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    val bench = docsOf(900L -> doc(30).mkString(" "), 901L -> doc(30).mkString(" "))
+    val benchWindows = bench.collect().map(_.getString(1).split(" ").toSeq)
+    // corpus: 30 clean docs over a DISJOINT vocab + 20 docs with a planted
+    // 5-token benchmark window spliced mid-document
+    val clean = (0 until 30).map(i =>
+      (i.toLong, Seq.fill(25)(s"w${rnd.nextInt(40)}").mkString(" ")))
+    val planted = (100 until 120).map { i =>
+      val src = benchWindows(rnd.nextInt(benchWindows.size))
+      val at = rnd.nextInt(src.size - 5)
+      val window = src.slice(at, at + 5)
+      val halves = Seq.fill(10)(s"w${rnd.nextInt(40)}")
+      (i.toLong, (halves.take(5) ++ window ++ halves.drop(5)).mkString(" "))
+    }
+    val corpus = (clean ++ planted).toDF("doc_id", "text")
+    val out = TextOps.decontaminate(corpus, bench, windowTokens = 5).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    planted.foreach { case (id, _) => assert(out(id), s"planted doc $id not flagged") }
+    clean.foreach { case (id, _) => assert(!out(id), s"clean doc $id flagged") }
+  }
+
   test("ngramTopK: counts occurrences (not distinct docs), deterministic ties") {
     val docs = docsOf(1L -> "a b a b", 2L -> "a b c", 3L -> "z")
     val out = TextOps.ngramTopK(docs, n = 2, k = 3).collect()
