@@ -20,6 +20,10 @@ import org.apache.spark.sql.SparkSession
   * generated corpus (Transcripts.synthetic) for the parquet read — a
   * data-free smoke/scaling run on any cluster (the generator is
   * spark.range-driven, so it parallelizes like the real scan).
+  * `--input html:<glob>` reads a directory/glob of raw HTML files (one
+  * document per file — the reference CLI's own input shape) and
+  * `--input jsonl:<path>` reads line-delimited JSON transcripts with the
+  * explicit table schema (no inference pass).
   *
   * Output is written with checkpointed resume (Resume.writeWithResume):
   * re-running after a failure completes only the missing buckets.
@@ -42,6 +46,10 @@ object ExtractMain {
         val nConvs = if (parts.length > 1) parts(1).toLong
                      else math.max(nTurns / 20, 1L)
         Transcripts.synthetic(spark, nTurns, nConvs)
+      case s if s.startsWith("html:") =>
+        graft.sources.TranscriptSources.htmlFiles(spark, s.stripPrefix("html:"))
+      case s if s.startsWith("jsonl:") =>
+        graft.sources.TranscriptSources.jsonlTranscripts(spark, s.stripPrefix("jsonl:"))
       case path => spark.read.parquet(path)
     }
     val errors = spark.sparkContext.longAccumulator("extract_errors")
