@@ -29,7 +29,10 @@ object TranscriptSources {
       .select(
         col("path").as("conv_id"),
         lit(0).as("turn_idx"),
-        decode(col("content"), "UTF-8").as("text"))
+        decode(col("content"), "UTF-8").as("text"),
+        // per-document base URI = the file's own location, so relative
+        // hrefs/itemids resolve exactly as the reference CLI resolves them
+        col("path").as("base"))
 
   /** The transcript schema JSONL files must carry (a line-delimited JSON
     * twin of the parquet tables).

@@ -51,15 +51,25 @@ object ExtractPipeline {
     val spark = transcripts.sparkSession
     import spark.implicits._
     val bcast = spark.sparkContext.broadcast(registry)
+    // a `base` column, when present, carries a PER-ROW document base URI
+    // (file/URL sources: the document's own location, exactly how the
+    // reference resolves relative IRIs — reader.rb base_uri); otherwise
+    // the conv-derived `basePrefix` rule applies
+    val baseCol =
+      if (transcripts.columns.contains("base")) col("base").cast("string")
+      else lit(null).cast("string")
     val pre = transcripts
-      .select(col("conv_id"), col("turn_idx"), col("text"))
+      .select(col("conv_id"), col("turn_idx"), col("text"), baseCol.as("base"))
       .filter(markupFilter)
-      .as[(String, Int, String)]
+      .as[(String, Int, String, String)]
     pre.mapPartitions { it =>
       val reg = bcast.value
-      it.flatMap { case (convId, turnIdx, text) =>
+      it.flatMap { case (convId, turnIdx, text, rowBase) =>
         val docId = convId + "#" + turnIdx
-        val base = if (basePrefix == null) null else s"$basePrefix$convId/$turnIdx"
+        val base =
+          if (rowBase != null) rowBase
+          else if (basePrefix == null) null
+          else s"$basePrefix$convId/$turnIdx"
         val res = Extractor.extract(text, docId, base, reg)
         if (errorCounter != null && res.errors.nonEmpty)
           errorCounter.add(res.errors.size.toLong)

@@ -20,17 +20,29 @@ class SourcesSpec extends AnyFunSuite {
 
     val fromFiles = TranscriptSources.htmlFiles(spark, dir.toString)
     assert(fromFiles.count() == 3)
-    assert(fromFiles.columns.toSet == Set("conv_id", "turn_idx", "text"))
+    assert(fromFiles.columns.toSet == Set("conv_id", "turn_idx", "text", "base"))
 
     // the adapter must feed extraction identically to an equivalent
-    // in-memory frame with the same (conv_id = path, text) rows
-    val asRows = fromFiles.collect().map(r => (r.getString(0), 0, r.getString(2)))
-      .toSeq.toDF("conv_id", "turn_idx", "text")
+    // in-memory frame with the same (conv_id = path, text, base) rows
+    val asRows = fromFiles.collect()
+      .map(r => (r.getString(0), 0, r.getString(2), r.getString(3)))
+      .toSeq.toDF("conv_id", "turn_idx", "text", "base")
     def key(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.toSeq.map(String.valueOf).mkString("|")).toSet
     val a = key(ExtractPipeline.extract(fromFiles).toDF())
     val b = key(ExtractPipeline.extract(asRows).toDF())
     assert(a == b && a.nonEmpty)
+  }
+
+  test("htmlFiles: relative IRIs resolve against the file's own location") {
+    val dir = Files.createTempDirectory("grafthtmlbase")
+    Files.writeString(dir.resolve("doc.html"),
+      """<div itemscope itemtype="http://schema.org/Person"><a itemprop="url" href="about">me</a></div>""")
+    val triples = ExtractPipeline.extract(
+      TranscriptSources.htmlFiles(spark, dir.toString)).collect()
+    val url = triples.find(_.pred == "http://schema.org/url").get.obj_iri
+    // binaryFile paths are file: URIs; "about" resolves beside doc.html
+    assert(url == s"file:${dir.toString.stripSuffix("/")}/about", url)
   }
 
   test("jsonlTranscripts: explicit schema, corrupt lines dropped softly, parquet parity") {
