@@ -412,7 +412,11 @@ object TextOps {
   def chunk(docs: DataFrame, chunkTokens: Int, stride: Int): DataFrame = {
     require(stride > 0 && chunkTokens >= stride, "need 0 < stride <= chunkTokens")
     val t = tokens(col("text"))
-    val starts = sequence(lit(0), floor((size(t) - 1) / stride).cast("int"))
+    // null/empty text must yield NO chunks — without the guard, size(null)
+    // is null/−1 and sequence(0, −1) DESCENDS (same trap shingles guards)
+    val starts = when(size(t) >= 1,
+        sequence(lit(0), floor((size(t) - 1) / stride).cast("int")))
+      .otherwise(array().cast("array<int>"))
     docs.select(col("doc_id"),
         posexplode(transform(starts, i => slice(t, i * stride + 1, lit(chunkTokens)))))
       .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),

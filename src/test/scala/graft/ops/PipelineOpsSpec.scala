@@ -172,6 +172,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     val h1 = TextOps.chunk(docs, 32, 24).collect().map(_.getString(3)).toSeq
     val h2 = TextOps.chunk(docs, 32, 24).collect().map(_.getString(3)).toSeq
     assert(h1 == h2)
+    // null text yields NO chunks (not junk rows from a descending sequence)
+    val withNull = Seq((9L, null: String), (10L, "x")).toDF("doc_id", "text")
+    val nulls = TextOps.chunk(withNull, 32, 24).collect()
+    assert(nulls.map(_.getLong(0)).toSeq == Seq(10L))
   }
 
   test("scrubPii property: planted emails/phones are always counted and fully masked") {
