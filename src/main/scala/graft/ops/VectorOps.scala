@@ -36,8 +36,14 @@ object VectorOps {
   private def withNorm(embs: DataFrame): DataFrame =
     embs.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
 
+  /** try_divide, not `/`: under Spark 4 ANSI a zero-norm vector would
+    * otherwise throw DIVIDE_BY_ZERO and fail the whole job; a null cosine
+    * instead fails every `>= threshold` filter, so degenerate vectors
+    * quietly pair with nothing (DuckDB's 0/0 = NaN fails the same filters,
+    * so oracle parity holds on any corpus that contains them).
+    */
   private def cosSim(aEmb: Column, aNrm: Column, bEmb: Column, bNrm: Column): Column =
-    dot(aEmb, bEmb) / (aNrm * bNrm)
+    try_divide(dot(aEmb, bEmb), aNrm * bNrm)
 
   /** Exact all-pairs cosine ≥ threshold as a blocked equi-join.
     *
@@ -175,33 +181,65 @@ object VectorOps {
   def ivfAssign(embs: DataFrame, centroids: DataFrame, nProbe: Int,
                 literalMaxCentroids: Int = 128): DataFrame = {
     val cents = centroids.collect() // m model rows, like loading any ANN index
-    if (cents.length <= literalMaxCentroids) {
-      val centArr = array(cents.map { r =>
-        struct(lit(r.get(0)).as("c_id"),
+    assignCells(withNorm(embs), cents.length,
+      cents.toIndexedSeq.map { r =>
+        struct(lit(r.get(0)).as("cell"),
           typedlit(r.getSeq[Float](1)).as("c_emb"),
           lit(r.getDouble(2)).as("c_nrm"))
-      }.toIndexedSeq: _*)
-      // struct(-cos, c_id) sorted ascending == (cos desc, c_id asc)
-      val scored = transform(centArr, c => struct(
-        (-(dot(col("embedding"), c.getField("c_emb")) /
-          (col("nrm") * c.getField("c_nrm")))).as("negcos"),
-        c.getField("c_id").as("cell")))
-      withNorm(embs)
-        .withColumn("probe", explode(slice(sort_array(scored), 1, nProbe)))
-        .select(col("vec_id"), col("probe.cell").as("cell"))
+      },
+      centroids, dot, nProbe, literalMaxCentroids, keep = Seq("vec_id"))
+  }
+
+  /** Cosine for ranking, with the degenerate zero-norm case pinned BELOW
+    * any real value. A zero-norm side makes the plain division throw under
+    * Spark 4 ANSI (failing the whole job), and were a NaN to surface, the
+    * two physical assignment strategies would rank it OPPOSITELY (the
+    * ascending struct sort puts negcos = NaN last = never probed;
+    * TopKByScore's Double.compare total order puts NaN first = always
+    * probed). try_divide → null → −2 makes dead cells never probed on
+    * EITHER path, and a zero-norm query degrade to the deterministic
+    * all-ties cell-asc order.
+    */
+  private def safeCos(num: Column, den: Column): Column =
+    coalesce(nanvl(try_divide(num, den), lit(-2.0)), lit(-2.0))
+
+  /** The one implementation of adaptive nProbe-nearest-cell assignment
+    * mechanics, shared by the float-model ([[ivfAssign]]) and trained
+    * double-model (kmeansAssign) front ends so strategy switching,
+    * tie-breaking, and the NaN policy cannot diverge between them:
+    *
+    *  - `m <= literalMax`: model folds into a literal array column;
+    *    struct(−cos, cell) sorted ascending == (cos desc, cell asc), one
+    *    codegen'd projection, no join/shuffle/window;
+    *  - larger m: BroadcastHashJoin against the broadcast centroid table on
+    *    a derived constant key (hash-join plan, build side = the bounded
+    *    model only), then per-vector top-nProbe via the bounded
+    *    TopKByScore aggregate — O(nProbe) reducer memory regardless of m.
+    */
+  private def assignCells(e: DataFrame, m: Int,
+                          literalStructs: => Seq[Column],
+                          centroidDf: => DataFrame,
+                          dotFn: (Column, Column) => Column,
+                          nProbe: Int, literalMax: Int,
+                          keep: Seq[String]): DataFrame = {
+    if (m <= literalMax) {
+      val scored = transform(array(literalStructs: _*), c => struct(
+        (-safeCos(dotFn(col("embedding"), c.getField("c_emb")),
+          col("nrm") * c.getField("c_nrm"))).as("negcos"),
+        c.getField("cell").as("cell")))
+      e.withColumn("probe", explode(slice(sort_array(scored), 1, nProbe)))
+        .select(keep.map(col) :+ col("probe.cell").as("cell"): _*)
     } else {
-      // non-foldable all-match key on both sides → BroadcastHashJoin with
-      // the centroid table as build side
-      val e = withNorm(embs).withColumn("jk", pmod(hash(col("vec_id")), lit(1)))
-      val c = broadcast(centroids.withColumn("jk", pmod(hash(col("c_id")), lit(1))))
-      e.join(c, "jk")
-        .select(col("vec_id"),
-          (dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm"))).as("ccos"),
-          col("c_id"))
-        .groupBy(col("vec_id"))
+      val left = e.withColumn("jk", pmod(hash(col("vec_id")), lit(1)))
+      val right = broadcast(centroidDf.withColumn("jk", pmod(hash(col("c_id")), lit(1))))
+      left.join(right, "jk")
+        .select(keep.map(col) :+
+          safeCos(dotFn(col("embedding"), col("c_emb")),
+            col("nrm") * col("c_nrm")).as("ccos") :+ col("c_id"): _*)
+        .groupBy(keep.map(col): _*)
         .agg(graft.functions.TopKByScore(col("ccos"), col("c_id"), nProbe).as("top"))
-        .select(col("vec_id"), explode(col("top")).as("probe"))
-        .select(col("vec_id"), col("probe.payload").as("cell"))
+        .select(keep.map(col) :+ explode(col("top")).as("probe"): _*)
+        .select(keep.map(col) :+ col("probe.payload").as("cell"): _*)
     }
   }
 
@@ -213,11 +251,19 @@ object VectorOps {
     * the planted-near-dup corpus.
     */
   def ivfTopK(embs: DataFrame, m: Int, nProbe: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = ivfCentroids(embs, m)
-    val e = withNorm(embs)
-    val queries = ivfAssign(embs, cents, nProbe)
-    val cands = ivfAssign(embs, cents, 1)
+    rankCellPairs(ivfAssign(embs, cents, nProbe), ivfAssign(embs, cents, 1),
+      withNorm(embs), k)
+  }
+
+  /** Shared IVF tail: join query probes against single-cell candidate
+    * index, rank each query's cell-mates by exact cosine, keep top-k.
+    * (Cells per query are distinct, and each candidate is indexed under ONE
+    * cell, so a pair meets at most once — no dedup shuffle needed.)
+    */
+  private def rankCellPairs(queries: DataFrame, cands: DataFrame,
+                            e: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val pairs = queries.as("q").join(cands.as("c"),
         col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("vec_a"), col("c.vec_id").as("vec_b"))
@@ -269,11 +315,20 @@ object VectorOps {
     * @return (c_id, c_emb: array<double>, c_nrm) — feedable to assignment.
     */
   def kmeansCentroids(embs: DataFrame, m: Int, iters: Int,
-                      literalMaxCentroids: Int = 128): DataFrame = {
-    val spark = embs.sparkSession
-    val e = withNorm(embs).localCheckpoint() // reused every iteration
+                      literalMaxCentroids: Int = 128): DataFrame =
+    kmeansCentroidsNormed(withNorm(embs).localCheckpoint(), m, iters,
+      literalMaxCentroids)
+
+  /** Trainer body over an ALREADY-materialized normed frame — callers that
+    * also need the frame downstream (ivfTopKTrained, kmeansAssignment) pass
+    * theirs in, so the corpus is checkpointed once per query, not once per
+    * stage.
+    */
+  private def kmeansCentroidsNormed(e: DataFrame, m: Int, iters: Int,
+                                    literalMaxCentroids: Int): DataFrame = {
+    val spark = e.sparkSession
     var cents: Array[(String, Array[Double])] =
-      embs.orderBy(col("vec_id")).limit(m)
+      e.orderBy(col("vec_id")).limit(m)
         .select(col("embedding")).collect().zipWithIndex
         .map { case (r, i) => (kmeansCellId(i), r.getSeq[Float](0).map(_.toDouble).toArray) }
     val dim = cents.head._2.length
@@ -309,44 +364,27 @@ object VectorOps {
     */
   private def kmeansAssign(e: DataFrame, cents: Array[(String, Array[Double])],
                            literalMaxCentroids: Int, nProbe: Int = 1): DataFrame = {
-    if (cents.length <= literalMaxCentroids) {
-      val centArr = array(cents.map { case (cid, v) =>
+    val spark = e.sparkSession
+    import spark.implicits._
+    assignCells(e, cents.length,
+      cents.toIndexedSeq.map { case (cid, v) =>
         val nrm = math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x))
         struct(lit(cid).as("cell"), typedlit(v.toSeq).as("c_emb"), lit(nrm).as("c_nrm"))
-      }.toIndexedSeq: _*)
-      val scored = transform(centArr, c => struct(
-        (-(dotD(col("embedding"), c.getField("c_emb")) /
-          (col("nrm") * c.getField("c_nrm")))).as("negcos"),
-        c.getField("cell").as("cell")))
-      e.withColumn("probe", explode(slice(sort_array(scored), 1, nProbe)))
-        .select(col("vec_id"), col("embedding"), col("probe.cell").as("cell"))
-    } else {
-      val spark = e.sparkSession
-      import spark.implicits._
-      val cdf = cents.toSeq.map { case (cid, v) =>
+      },
+      cents.toSeq.map { case (cid, v) =>
         (cid, v.toSeq, math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x)))
-      }.toDF("c_id", "c_emb", "c_nrm")
-      val left = e.withColumn("jk", pmod(hash(col("vec_id")), lit(1)))
-      val right = broadcast(cdf.withColumn("jk", pmod(hash(col("c_id")), lit(1))))
-      left.join(right, "jk")
-        .select(col("vec_id"), col("embedding"),
-          (dotD(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm"))).as("ccos"),
-          col("c_id"))
-        .groupBy(col("vec_id"), col("embedding"))
-        .agg(graft.functions.TopKByScore(col("ccos"), col("c_id"), nProbe).as("top"))
-        .select(col("vec_id"), col("embedding"), explode(col("top")).as("probe"))
-        .select(col("vec_id"), col("embedding"), col("probe.payload").as("cell"))
-    }
+      }.toDF("c_id", "c_emb", "c_nrm"),
+      dotD, nProbe, literalMaxCentroids, keep = Seq("vec_id", "embedding"))
   }
 
   /** Final k-means cell assignment (vec_id → cell) after training. */
   def kmeansAssignment(embs: DataFrame, m: Int, iters: Int,
                        literalMaxCentroids: Int = 128): DataFrame = {
-    val centsDf = kmeansCentroids(embs, m, iters, literalMaxCentroids)
-    val cents = centsDf.collect()
+    val e = withNorm(embs).localCheckpoint()
+    val cents = kmeansCentroidsNormed(e, m, iters, literalMaxCentroids).collect()
       .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    kmeansAssign(withNorm(embs), cents, literalMaxCentroids)
+    kmeansAssign(e, cents, literalMaxCentroids)
       .select(col("vec_id"), col("cell"))
   }
 
@@ -359,25 +397,14 @@ object VectorOps {
     */
   def ivfTopKTrained(embs: DataFrame, m: Int, iters: Int, nProbe: Int, k: Int,
                      literalMaxCentroids: Int = 128): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cents = kmeansCentroids(embs, m, iters, literalMaxCentroids).collect()
+    val e = withNorm(embs).localCheckpoint() // one materialization, all stages
+    val cents = kmeansCentroidsNormed(e, m, iters, literalMaxCentroids).collect()
       .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    val e = withNorm(embs).localCheckpoint()
-    val queries = kmeansAssign(e, cents, literalMaxCentroids, nProbe)
-      .select(col("vec_id"), col("cell"))
-    val cands = kmeansAssign(e, cents, literalMaxCentroids, 1)
-      .select(col("vec_id"), col("cell"))
-    val pairs = queries.as("q").join(cands.as("c"),
-        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
-      .select(col("q.vec_id").as("vec_a"), col("c.vec_id").as("vec_b"))
-    val scored = pairs
-      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")), "vec_b")
-      .select(col("vec_a"), col("vec_b"), cosSim(col("ea"), col("na"), col("eb"), col("nb")).as("cos"))
-    val w = Window.partitionBy(col("vec_a")).orderBy(col("cos").desc, col("vec_b"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"), col("rank"))
+    rankCellPairs(
+      kmeansAssign(e, cents, literalMaxCentroids, nProbe).select(col("vec_id"), col("cell")),
+      kmeansAssign(e, cents, literalMaxCentroids, 1).select(col("vec_id"), col("cell")),
+      e, k)
   }
 
   /** Embedding-cosine near-duplicate DEDUP decision: LSH candidate pairs →

@@ -22,17 +22,24 @@ object TranscriptSources {
     * files are packed per `maxPartitionBytes`); no shuffle is introduced —
     * extraction stays embarrassingly parallel.
     */
-  def htmlFiles(spark: SparkSession, glob: String): DataFrame =
+  def htmlFiles(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.htm*")
       .load(glob)
-      .select(
-        col("path").as("conv_id"),
-        lit(0).as("turn_idx"),
-        decode(col("content"), "UTF-8").as("text"),
-        // per-document base URI = the file's own location, so relative
-        // hrefs/itemids resolve exactly as the reference CLI resolves them
-        col("path").as("base"))
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      // decode in Scala, NOT via the decode() expression: under Spark 4's
+      // ANSI mode one malformed byte sequence (a stray Latin-1 file in a
+      // crawl) would fail the whole job; String(bytes, UTF_8) substitutes
+      // U+FFFD and never throws — soft-skip philosophy, file granularity
+      .map { case (path, bytes) =>
+        (path, 0, new String(bytes, java.nio.charset.StandardCharsets.UTF_8), path)
+      }
+      // per-document base URI = the file's own location, so relative
+      // hrefs/itemids resolve exactly as the reference CLI resolves them
+      .toDF("conv_id", "turn_idx", "text", "base")
+  }
 
   /** The transcript schema JSONL files must carry (a line-delimited JSON
     * twin of the parquet tables).

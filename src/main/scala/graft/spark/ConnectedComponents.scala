@@ -59,13 +59,15 @@ object ConnectedComponents {
     */
   def run(edges: DataFrame, maxIterations: Int = 64,
           checkpointInterval: Int = 5,
-          unionFindMaxEdges: Long = 10000000L): DataFrame = {
+          unionFindMaxEdges: Long = 10000000L,
+          maxEdgesPerInitTask: Long = 2000000L): DataFrame = {
     // materialize the (possibly expensive) upstream pair pipeline exactly
     // once; the count that picks the strategy then scans cached blocks
     val raw = edges.select(col("src").cast("string"), col("dst").cast("string"))
       .localCheckpoint()
-    if (raw.count() <= unionFindMaxEdges) runUnionFind(raw)
-    else runDistributed(raw, maxIterations, checkpointInterval)
+    val n = raw.count()
+    if (n <= unionFindMaxEdges) runUnionFind(raw)
+    else runDistributed(raw, n, maxIterations, checkpointInterval, maxEdgesPerInitTask)
   }
 
   /** Union–find (path halving) over one iterator of edges; emits
@@ -112,8 +114,9 @@ object ConnectedComponents {
   }
 
   /** O(log d)-round distributed loop for graphs too big for one task. */
-  private def runDistributed(raw: DataFrame, maxIterations: Int,
-                             checkpointInterval: Int): DataFrame = {
+  private def runDistributed(raw: DataFrame, edgeCount: Long, maxIterations: Int,
+                             checkpointInterval: Int,
+                             maxEdgesPerInitTask: Long): DataFrame = {
     val spark = raw.sparkSession
     val sc = spark.sparkContext
     import spark.implicits._
@@ -135,7 +138,19 @@ object ConnectedComponents {
     // link/dedup graphs most components collapse before round 1.
     // (A node seen as dst in other partitions gets one row per partition;
     // groupBy-min reconciles them.)
-    var labels = sym.repartition(col("src")).as[(String, String)]
+    //
+    // The per-partition union-find holds every endpoint string of its
+    // partition in an UNSPILLABLE java HashMap, so the init partition count
+    // must bound edges/task explicitly instead of inheriting the session
+    // shuffle setting (2×10⁹ symmetrized edges over 200 partitions would be
+    // a multi-GB map per task): ≈2·edgeCount/maxEdgesPerInitTask tasks caps
+    // the map at maxEdgesPerInitTask entries (partitioning is by src, so a
+    // hot node's edges still land together — upstream blocking degree-caps
+    // make that bounded too). More partitions only weaken the CONTRACTION
+    // (a coarser quotient for the loop), never correctness.
+    val initParts = math.max(spark.sparkContext.defaultParallelism.toLong,
+      2L * edgeCount / math.max(maxEdgesPerInitTask, 1L) + 1L).toInt
+    var labels = sym.repartition(initParts, col("src")).as[(String, String)]
       .mapPartitions(labelPartition)
       .toDF("node", "component")
       .groupBy(col("node"))

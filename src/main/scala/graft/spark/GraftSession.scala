@@ -46,12 +46,19 @@ object GraftSession {
     graftDefaults.foreach { case (k, v) =>
       if (!sys.props.contains(k)) b = b.config(k, v)
     }
-    if (!submitted)
-      b = b.master(s"local[$localFallbackCpus]")
-        .config("spark.sql.shuffle.partitions", localFallbackCpus.toString)
-        .config("spark.ui.enabled", "false")
+    if (!submitted) sys.env.get("SPARK_MASTER") match {
+      // plain-java launches targeting a cluster set SPARK_MASTER instead of
+      // the spark.master system property — honor it rather than silently
+      // running local on the driver machine
+      case Some(master) => b = b.master(master)
+      case None =>
+        b = b.master(s"local[$localFallbackCpus]")
+          .config("spark.sql.shuffle.partitions", localFallbackCpus.toString)
+          .config("spark.ui.enabled", "false")
+    }
     val s = b.getOrCreate()
-    if (submitted && !sys.props.contains("spark.sql.shuffle.partitions"))
+    val clustered = submitted || sys.env.contains("SPARK_MASTER")
+    if (clustered && !sys.props.contains("spark.sql.shuffle.partitions"))
       s.conf.set("spark.sql.shuffle.partitions",
         math.max(s.sparkContext.defaultParallelism, 1).toString)
     s

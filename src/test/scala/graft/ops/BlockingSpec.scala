@@ -69,6 +69,35 @@ class BlockingSpec extends AnyFunSuite {
     assert(dflt.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("IVF assign: zero-norm (NaN-cosine) centroids rank identically on both paths") {
+    import spark.implicits._
+    // vec "000" is all-zero → cosine NaN against everything; as a centroid
+    // it must NEVER be probed, on the literal AND the broadcast path (they
+    // previously ranked NaN oppositely: sort_array put −NaN last, the
+    // TopKByScore total order put NaN first)
+    val rows = (0 until 40).map { i =>
+      val v = if (i == 0) Array.fill(8)(0f)
+              else Array.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toFloat)
+      (f"$i%03d", v.toSeq)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val cents = VectorOps.ivfCentroids(e, 4) // includes the zero vector ("000")
+    val nonZero = e.filter($"vec_id" =!= "000")
+    val lit = VectorOps.ivfAssign(nonZero, cents, nProbe = 2, literalMaxCentroids = 128)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val bc = VectorOps.ivfAssign(nonZero, cents, nProbe = 2, literalMaxCentroids = 0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(lit == bc)
+    assert(!lit.exists(_._2 == "000"), "dead (zero-norm) cell must never be probed")
+    // a zero-norm QUERY degrades to the deterministic all-ties cell-asc order
+    val zq = e.filter($"vec_id" === "000")
+    val zl = VectorOps.ivfAssign(zq, cents, nProbe = 2, literalMaxCentroids = 128)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val zb = VectorOps.ivfAssign(zq, cents, nProbe = 2, literalMaxCentroids = 0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(zl == zb && zl.nonEmpty)
+  }
+
   test("kmeans: fixed-point updates make training partition-order independent; paths agree") {
     def assignOf(df: org.apache.spark.sql.DataFrame, lmc: Int) =
       VectorOps.kmeansAssignment(df, m = 8, iters = 2, literalMaxCentroids = lmc)
