@@ -54,8 +54,13 @@ object CcBench {
     // union-find path (threshold above nEdges); run() + count inside the
     // timer — the loop variant materializes EAGERLY inside run(), so the
     // construction must be timed too
+    var uf: org.apache.spark.sql.DataFrame = null
     val (ufRows, ufSecs) = timed {
-      ConnectedComponents.run(edges, unionFindMaxEdges = Long.MaxValue).count()
+      // eager localCheckpoint: materialization is part of the timed cost
+      // (as before) and the mismatch join below reads the cached blocks
+      uf = ConnectedComponents.run(edges, unionFindMaxEdges = Long.MaxValue)
+        .localCheckpoint()
+      uf.count()
     }
     // distributed loop (threshold 0)
     var dist: org.apache.spark.sql.DataFrame = null
@@ -63,9 +68,10 @@ object CcBench {
       dist = ConnectedComponents.run(edges, unionFindMaxEdges = 0)
       dist.count()
     }
-    // exact agreement: both (node, component) sets identical
-    val uf2 = ConnectedComponents.run(edges, unionFindMaxEdges = Long.MaxValue)
-    val mismatches = uf2.withColumnRenamed("component", "cuf")
+    // exact agreement: both (node, component) sets identical — reuse the
+    // timed run's (deterministic, already-materialized) frame instead of
+    // paying a third full CC pass
+    val mismatches = uf.withColumnRenamed("component", "cuf")
       .join(dist.withColumnRenamed("component", "cdist"), Seq("node"), "full")
       .filter(not(col("cuf") <=> col("cdist"))).count()
     println(s"""{"edges":$nEdges,"shape":"$shapeName","nodes":$ufRows,"union_find_secs":$ufSecs,"distributed_secs":$distSecs,"rows_match":${ufRows == distRows},"mismatches":$mismatches}""")

@@ -492,11 +492,19 @@ object SparkEntry {
   }
 
   /** nProbe-nearest-cell assignment CTE (shared by the k-means oracles). */
+  /** Degenerate-cosine guard mirroring VectorOps.safeCos: DuckDB division
+    * by zero yields NULL (measured — not NaN/inf), so COALESCE to the same
+    * −2 sentinel Spark's try_divide path uses pins a zero-norm (dead) cell
+    * below every real cosine in both engines.
+    */
+  private def safeCosSql(num: String, den: String): String =
+    s"COALESCE($num / ($den), -2.0)"
+
   private def kmAssignCte(name: String, cdef: String, nProbe: Int): String =
     s"""$name AS (SELECT vec_id, cell FROM (
        |  SELECT e.vec_id, c.cell,
        |         row_number() OVER (PARTITION BY e.vec_id
-       |           ORDER BY list_dot_product(e.emb, c.c_emb) / (e.nrm * c.c_nrm) DESC, c.cell) AS rn
+       |           ORDER BY ${safeCosSql("list_dot_product(e.emb, c.c_emb)", "e.nrm * c.c_nrm")} DESC, c.cell) AS rn
        |  FROM en e, $cdef c) t WHERE rn <= $nProbe)""".stripMargin
 
   /** CTE chain replaying the deterministic k-means trainer
@@ -970,7 +978,7 @@ object SparkEntry {
         """WITH ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
           |cents AS (SELECT CAST(vec_id AS VARCHAR) AS c_id, emb AS c_emb FROM ed ORDER BY vec_id LIMIT 256),
           |cscore AS (SELECT e.vec_id, c.c_id,
-          |    list_dot_product(e.emb, c.c_emb) / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) AS c_cos
+          |    COALESCE(list_dot_product(e.emb, c.c_emb) / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))), -2.0) AS c_cos
           |  FROM ed e, cents c),
           |ranked AS (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS pr FROM cscore),
           |qassign AS (SELECT vec_id, c_id AS cell FROM ranked WHERE pr <= 2),

@@ -275,7 +275,10 @@ object TextOps {
     * for honest eval. Pure codegen'd projection; embarrassingly parallel.
     */
   def hashSplit(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
-    val bucket = pmod(PortableHash.tokenHash31(col("doc_id").cast("string")), lit(100L))
+    // coalesce: a null doc_id otherwise yields bucket = null, which fails
+    // BOTH when() branches and silently lands every null-id doc in "test"
+    val bucket = pmod(PortableHash.tokenHash31(
+      coalesce(col("doc_id").cast("string"), lit(""))), lit(100L))
     docs.select(col("doc_id"), bucket.as("bucket"),
       when(bucket < trainPct, "train")
         .when(bucket < trainPct + valPct, "val")
@@ -331,11 +334,17 @@ object TextOps {
   def stratifiedSample(docs: DataFrame, stratumCol: String,
                        ratesPerMille: Map[String, Int],
                        defaultPerMille: Int): DataFrame = {
+    // a null stratum is a real corpus condition, not an error: it samples
+    // at the DEFAULT rate (without the coalesce, the null would poison the
+    // hash concat and silently drop every null-stratum row from every
+    // sample regardless of rate)
+    val stratum = coalesce(col(stratumCol).cast("string"), lit(""))
     val rate = ratesPerMille.toSeq.sortBy(_._1).foldLeft(lit(defaultPerMille)) {
-      case (acc, (s, r)) => when(col(stratumCol) === s, lit(r)).otherwise(acc)
+      case (acc, (s, r)) => when(stratum === s, lit(r)).otherwise(acc)
     }
     val h = pmod(PortableHash.tokenHash31(
-      concat(col(stratumCol), lit(":"), col("doc_id").cast("string"))), lit(1000L))
+      concat(stratum, lit(":"), coalesce(col("doc_id").cast("string"), lit("")))),
+      lit(1000L))
     docs.filter(h < rate)
   }
 

@@ -331,7 +331,7 @@ object VectorOps {
       e.orderBy(col("vec_id")).limit(m)
         .select(col("embedding")).collect().zipWithIndex
         .map { case (r, i) => (kmeansCellId(i), r.getSeq[Float](0).map(_.toDouble).toArray) }
-    val dim = cents.head._2.length
+    require(cents.nonEmpty, "k-means training needs a non-empty embeddings input")
 
     for (_ <- 0 until iters) {
       val assigned = kmeansAssign(e, cents, literalMaxCentroids)

@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   *  - **edges ≤ `unionFindMaxEdges` (default 10⁷)**: single-task union–find
   *    (path-halving) over the raw edges — one job, no symmetrize shuffle, no
   *    rounds. 10⁷ string edges is ≲1–2 GB of task heap, comfortably inside
-  *    one executor; the output is identical (component = min reachable id,
-  *    ids compared bytewise — all ids here are ASCII, where String ordering
-  *    and Spark's UTF8String/DuckDB byte ordering agree).
+  *    one executor; the output is identical (component = min reachable id
+  *    in UTF-8 BYTE order — enforced by `bytesLess`, matching Spark's
+  *    UTF8String `min` and DuckDB string order for arbitrary ids, not just
+  *    ASCII).
   *  - **larger graphs**: the distributed loop below. Each round fuses one
   *    hop of neighbor min-label propagation with one pointer-jumping step
   *    (label := label's label), so label paths halve per round and
@@ -70,11 +71,33 @@ object ConnectedComponents {
     else runDistributed(raw, n, maxIterations, checkpointInterval, maxEdgesPerInitTask)
   }
 
+  /** UTF-8 byte order — the order Spark's `min` on UTF8String AND the
+    * DuckDB oracles use. Java String.compareTo (UTF-16 code units) DIFFERS
+    * on supplementary-plane characters (surrogates 0xD800+ sort below
+    * 0xE000-0xFFFF code points, while their UTF-8 bytes 0xF0+ sort above),
+    * and node ids here can embed arbitrary extracted text — the min
+    * election must use the same order on every path or the single-task and
+    * distributed strategies elect different component ids.
+    */
+  private def bytesLess(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Union–find (path halving) over one iterator of edges; emits
-    * (node, component = min id in the class, bytewise/ASCII ordering) for
-    * every node seen. Duplicate and self edges are harmless; direction is
-    * ignored. Shared by the single-task path (whole graph in one iterator)
-    * and the distributed loop's per-partition init labeling.
+    * (node, component = min id in the class, UTF-8 byte ordering — see
+    * [[bytesLess]]) for every node seen. Duplicate and self edges are
+    * harmless; direction is ignored. Shared by the single-task path (whole
+    * graph in one iterator) and the distributed loop's per-partition init
+    * labeling.
     */
   private def labelPartition(it: Iterator[(String, String)]): Iterator[(String, String)] = {
     val parent = new java.util.HashMap[String, String]()
@@ -100,7 +123,7 @@ object ConnectedComponents {
     nodes.foreach { n =>
       val r = find(n)
       val cur = minOf.get(r)
-      if (cur == null || n.compareTo(cur) < 0) minOf.put(r, n)
+      if (cur == null || bytesLess(n, cur)) minOf.put(r, n)
     }
     nodes.iterator.map(n => (n, minOf.get(find(n))))
   }

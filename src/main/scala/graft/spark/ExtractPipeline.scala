@@ -143,7 +143,10 @@ object ExtractPipeline {
     // named control escapes \n \r \t, and \uXXXX for every other char
     // < 0x20 (reachable via numeric character references in markup). The
     // \uXXXX pass is gated behind an rlike so the common no-control-char row
-    // never pays the char-wise rebuild.
+    // never pays it; each remaining control char gets its own LINEAR
+    // regexp_replace — a char-wise aggregate-concat rebuild is O(n²) in the
+    // literal length (the growing accumulator re-copies per char), which a
+    // single 1 MB lexical form with one &#1; turns into a task stall.
     val named = regexp_replace(
       regexp_replace(
         regexp_replace(
@@ -155,10 +158,13 @@ object ExtractPipeline {
       "\t", "\\\\t")
     // after the named escapes, any remaining char < 0x20 needs \uXXXX
     val ctrl = "[\\x00-\\x1f]"
-    val uEscaped = aggregate(split(named, ""), lit(""), (acc, ch) =>
-      concat(acc, when(length(ch) === 1 && ascii(ch) < 32,
-          concat(lit("\\u"), lpad(upper(conv(ascii(ch).cast("string"), 10, 16)), 4, "0")))
-        .otherwise(ch)))
+    val uEscaped = (0x00 until 0x20)
+      .filterNot(c => c == '\n' || c == '\r' || c == '\t')
+      .foldLeft(named) { (acc, c) =>
+        // replacement "\\uXXXX" (2 chars of backslash in the Java
+        // replacement string) → Matcher emits the literal \uXXXX
+        regexp_replace(acc, f"\\x$c%02x", f"\\\\u$c%04X")
+      }
     val escaped = when(named.rlike(ctrl), uEscaped).otherwise(named)
     val lex = concat(lit("\""), escaped, lit("\""))
     val objLit = when(col("obj_lang").isNotNull, concat(lex, lit("@"), col("obj_lang")))

@@ -58,9 +58,22 @@ object GraftSession {
     }
     val s = b.getOrCreate()
     val clustered = submitted || sys.env.contains("SPARK_MASTER")
-    if (clustered && !sys.props.contains("spark.sql.shuffle.partitions"))
-      s.conf.set("spark.sql.shuffle.partitions",
-        math.max(s.sparkContext.defaultParallelism, 1).toString)
+    if (clustered && !sys.props.contains("spark.sql.shuffle.partitions")) {
+      // Prefer executor conf over defaultParallelism: right after
+      // getOrCreate() on a real cluster NO executors have registered yet,
+      // so defaultParallelism reads max(0 cores, 2) = 2 — pinning shuffle
+      // partitions to 2 would be far worse than the 200 default (AQE can
+      // coalesce partitions but never split them). Conf-derived core count
+      // is known before registration; without it, only trust a
+      // defaultParallelism that is plausibly real (> 2).
+      val conf = s.sparkContext.getConf
+      val fromConf = for {
+        execs <- conf.getOption("spark.executor.instances").map(_.toInt)
+        cores <- conf.getOption("spark.executor.cores").map(_.toInt)
+      } yield execs * cores
+      fromConf.orElse(Some(s.sparkContext.defaultParallelism).filter(_ > 2))
+        .foreach(p => s.conf.set("spark.sql.shuffle.partitions", math.max(p, 1).toString))
+    }
     s
   }
 }

@@ -44,6 +44,10 @@ object GraphQuery {
     */
   def bgp(triples: DataFrame, patterns: Seq[(Term, Term, Term)]): DataFrame = {
     require(patterns.nonEmpty, "empty BGP")
+    require(patterns.forall(p => Seq(p._1, p._2, p._3).exists(_.isInstanceOf[V])),
+      "variable-free patterns (pure existence checks) are not supported: " +
+        "they cannot join on a shared variable — evaluate the constant " +
+        "triple separately and gate the query on its result")
     val frames = patterns.map(compile(triples, _))
 
     // greedy connected join order: always join a pattern sharing ≥1

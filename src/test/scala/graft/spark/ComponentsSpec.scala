@@ -230,6 +230,22 @@ class ComponentsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("ConnectedComponents: non-ASCII ids elect the same UTF-8-byte-order min on both paths") {
+    // "a�" < "a😀" (U+1F600) in UTF-8 bytes (EF BF BD < F0 9F...),
+    // but Java String.compareTo says the SURROGATE is smaller — a
+    // code-unit-order min election would pick the emoji id and diverge from
+    // Spark's UTF8String min. Both strategies must agree on the byte min.
+    val ids = Seq("a�", "a😀", "z1", "z2")
+    val edges = Seq((ids(0), ids(1)), (ids(1), ids(2)), (ids(2), ids(3)))
+      .toDF("src", "dst")
+    val uf = ConnectedComponents.run(edges).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val dist = ConnectedComponents.run(edges, unionFindMaxEdges = 0).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(uf == dist)
+    assert(uf.map(_._2) == Set("a�")) // the UTF-8 byte-order min
+  }
+
   test("ConnectedComponents: union-find and distributed paths agree on a random multigraph") {
     // deterministic pseudo-random graph with dup edges, self-loops, stars
     // and chains — exercises path compression and multi-round convergence
