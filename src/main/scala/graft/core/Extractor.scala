@@ -59,13 +59,19 @@ object Extractor {
 
   /** Cheap pre-filter (format sniffing, /root/reference/lib/rdf/microdata/
     * format.rb:45-47): only texts containing a microdata attribute are worth
-    * parsing. Mirrored as a Column filter in the Spark pipeline.
+    * parsing. ASCII-case-insensitive, because HTML attribute names are and
+    * the parser lowercases them — an uppercase `ITEMSCOPE` row must not be
+    * dropped by the sniff when extraction would succeed. Mirrored as a
+    * Column filter in the Spark pipeline (ExtractPipeline.markupFilter).
     */
-  def mightHaveMicrodata(text: String): Boolean =
-    text != null && text.contains("item") && (
-      text.contains("itemscope") || text.contains("itemprop") ||
-      text.contains("itemtype") || text.contains("itemref") ||
-      text.contains("itemid"))
+  def mightHaveMicrodata(text: String): Boolean = {
+    if (text == null) return false
+    val t = text.toLowerCase(java.util.Locale.ROOT)
+    t.contains("item") && (
+      t.contains("itemscope") || t.contains("itemprop") ||
+      t.contains("itemtype") || t.contains("itemref") ||
+      t.contains("itemid"))
+  }
 
   /** Extract all triples from one HTML text.
     *
@@ -118,7 +124,7 @@ object Extractor {
 
       // 3-4) rdf:type per absolute itemtype token; first governs vocab
       var tpe: String = null
-      item.attr("itemtype").getOrElse("").split(' ').filter(_.nonEmpty)
+      item.attr("itemtype").getOrElse("").split("\\s+").filter(_.nonEmpty)
         .filter(Rfc3986.isAbsolute).foreach { t =>
           if (tpe == null) tpe = t
           add(subject, RdfType, Term.Iri(t))
@@ -131,7 +137,7 @@ object Extractor {
 
       // 9) forward properties
       itemProperties(item, reverse = false).foreach { element =>
-        element.attr("itemprop").getOrElse("").split(' ').filter(_.nonEmpty).foreach { name =>
+        element.attr("itemprop").getOrElse("").split("\\s+").filter(_.nonEmpty).foreach { name =>
           val predicate = vocab.predicateURI(name, base)
           val value: Term = propertyValue(element) match {
             case null => Term.Iri(generateTriples(element, vocab)) // nested item
@@ -147,7 +153,7 @@ object Extractor {
       // cheap doc-level skip: most markup has no @itemprop-reverse at all,
       // and the reverse crawl would otherwise re-walk every item subtree
       if (hasReverse) itemProperties(item, reverse = true).foreach { element =>
-        element.attr("itemprop-reverse").getOrElse("").split(' ').filter(_.nonEmpty).foreach { name =>
+        element.attr("itemprop-reverse").getOrElse("").split("\\s+").filter(_.nonEmpty).foreach { name =>
           val predicate = vocab.predicateURI(name, base)
           propertyValue(element) match {
             case null =>
@@ -201,21 +207,30 @@ object Extractor {
       }
       enqueueChildren(root)
       val itemref = root.attrRaw("itemref")
-      if (itemref != null) itemref.split(' ').filter(_.nonEmpty)
+      if (itemref != null) itemref.split("\\s+").filter(_.nonEmpty)
         .foreach(id => doc.byId.get(id).foreach(pending += _))
       val results = mutable.ArrayBuffer.empty[Elem]
-      // revisit detection (reader.rb:403-406): an element dequeued twice —
-      // e.g. an itemref target inside the item's own subtree, or two itemref
-      // tokens whose targets overlap — fails the crawl, so the item yields
-      // NO properties (itemProperties catches and logs), not duplicates
+      // Revisit handling: the reference SOURCE (reader.rb:403-406) raises
+      // CrawlFailure when a dequeued element is already in memo, but that
+      // check is INERT at runtime — memo holds NodeProxy wrappers that are
+      // freshly allocated per enqueue and compare by object identity, so
+      // include? never matches. The reference therefore re-visits
+      // overlapping itemref targets (itemref into the item's own subtree,
+      // or two itemref tokens with nested targets) and emits duplicate
+      // properties that collapse under graph set semantics. We match that
+      // OBSERVABLE behavior by visiting each element once (same result
+      // set, no duplicate work) instead of failing the crawl — a raise
+      // here would drop property triples the reference actually emits.
+      // (Genuine itemref RECURSION is still caught: crawl_properties'
+      // node-identity memo check, reader.rb:364, is live in both.)
       val visited = java.util.Collections.newSetFromMap(
         new java.util.IdentityHashMap[Elem, java.lang.Boolean]())
       while (pending.nonEmpty) {
         val current = pending.dequeue()
-        if (!visited.add(current))
-          throw new CrawlFailure("elements_in_item: element reached twice (overlapping itemref)")
-        if (!current.has("itemscope")) enqueueChildren(current)
-        results += current
+        if (visited.add(current)) {
+          if (!current.has("itemscope")) enqueueChildren(current)
+          results += current
+        }
       }
       results.toSeq
     }

@@ -22,6 +22,34 @@ object NTriples {
     sb.result()
   }
 
+  /** IRIREF content escaping (N-Triples grammar): the characters the
+    * production forbids raw inside `<...>` — controls, space, the angle
+    * brackets themselves, quote, braces, pipe, caret, backtick, backslash —
+    * become \uXXXX UCHARs. Extracted IRIs can carry any of these (e.g.
+    * `href="a&gt;b"` decodes to an IRI containing '>'), and writing them
+    * raw produces lines every conformant parser (including [[parse]]
+    * below, which cuts the IRI at the first '>') mis-reads.
+    */
+  def escapeIri(s: String): String = {
+    var i = 0
+    var needs = false
+    while (!needs && i < s.length) {
+      val c = s.charAt(i)
+      needs = c <= ' ' || c == '<' || c == '>' || c == '"' || c == '{' ||
+        c == '}' || c == '|' || c == '^' || c == '`' || c == '\\'
+      i += 1
+    }
+    if (!needs) return s
+    val sb = new StringBuilder
+    s.foreach {
+      case c if c <= ' ' || c == '<' || c == '>' || c == '"' || c == '{' ||
+        c == '}' || c == '|' || c == '^' || c == '`' || c == '\\' =>
+        sb ++= f"\\u${c.toInt}%04X"
+      case c => sb += c
+    }
+    sb.result()
+  }
+
   def unescape(s: String): String = {
     val sb = new StringBuilder
     var i = 0
@@ -49,19 +77,19 @@ object NTriples {
 
   def termToString(t: Term): String = t match {
     case Term.Iri(v) if Extractor.isSkolem(v) => "_:" + v.substring(Extractor.SkolemPrefix.length)
-    case Term.Iri(v) => s"<$v>"
+    case Term.Iri(v) => s"<${escapeIri(v)}>"
     case Term.Lit(lex, dt, lang) =>
       val q = "\"" + escape(lex) + "\""
       if (lang != null) q + "@" + lang
-      else if (dt != null) q + "^^<" + dt + ">"
+      else if (dt != null) q + "^^<" + escapeIri(dt) + ">"
       else q
   }
 
   def serialize(triples: Seq[RawTriple]): String =
     triples.map { t =>
       val s = if (Extractor.isSkolem(t.subj)) "_:" + t.subj.substring(Extractor.SkolemPrefix.length)
-              else s"<${t.subj}>"
-      s"$s <${t.pred}> ${termToString(t.obj)} ."
+              else s"<${escapeIri(t.subj)}>"
+      s"$s <${escapeIri(t.pred)}> ${termToString(t.obj)} ."
     }.mkString("\n")
 
   /** Parse N-Triples text. Bnode labels are kept as `_:label` strings in
@@ -104,6 +132,7 @@ object NTriples {
         }
         i += 1
       }
+      require(close >= 0, s"bad NT line (unterminated literal): $in")
       val lex = unescape(s.substring(1, close))
       val rest = s.substring(close + 1)
       if (rest.startsWith("@")) {

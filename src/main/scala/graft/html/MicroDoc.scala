@@ -167,7 +167,21 @@ object MicroDoc {
     val itemscopeElems = mutable.ArrayBuffer.empty[Elem]
     var hasReverse = false
     val s = html
-    lazy val lower = s.toLowerCase
+    // ASCII-only lowering, char-for-char: String.toLowerCase is both
+    // locale-sensitive ("</SCRIPT>" → "</scrıpt>" under tr_TR misses the
+    // close-tag scan) and LENGTH-CHANGING for some mappings (U+0130 → 2
+    // chars), which would shift every index found in `lower` relative to
+    // `s`. HTML tag names are ASCII-case-insensitive, nothing more.
+    lazy val lower: String = {
+      val a = s.toCharArray
+      var k = 0
+      while (k < a.length) {
+        val ch = a(k)
+        if (ch >= 'A' && ch <= 'Z') a(k) = (ch + 32).toChar
+        k += 1
+      }
+      new String(a)
+    }
     val n = s.length
     var i = 0
     val text = new java.lang.StringBuilder
@@ -291,6 +305,51 @@ object MicroDoc {
     new Doc(root, itemscopeElems.toSeq, hasReverse)
   }
 
+  /** HTML named character references beyond the XML five: the full Latin-1
+    * supplement block (the complete HTML 2.0/ISO-8859-1 set — the
+    * reference's Nokogiri decodes these, so literal lexical forms must
+    * match) plus common typographic punctuation. Not the full 2000+-name
+    * HTML5 table; an unknown name passes through verbatim, as before.
+    */
+  private val NamedEntities: Map[String, String] = {
+    val latin1 = Seq(
+      "iexcl" -> 0xA1, "cent" -> 0xA2, "pound" -> 0xA3, "curren" -> 0xA4,
+      "yen" -> 0xA5, "brvbar" -> 0xA6, "sect" -> 0xA7, "uml" -> 0xA8,
+      "copy" -> 0xA9, "ordf" -> 0xAA, "laquo" -> 0xAB, "not" -> 0xAC,
+      "shy" -> 0xAD, "reg" -> 0xAE, "macr" -> 0xAF, "deg" -> 0xB0,
+      "plusmn" -> 0xB1, "sup2" -> 0xB2, "sup3" -> 0xB3, "acute" -> 0xB4,
+      "micro" -> 0xB5, "para" -> 0xB6, "middot" -> 0xB7, "cedil" -> 0xB8,
+      "sup1" -> 0xB9, "ordm" -> 0xBA, "raquo" -> 0xBB, "frac14" -> 0xBC,
+      "frac12" -> 0xBD, "frac34" -> 0xBE, "iquest" -> 0xBF,
+      "Agrave" -> 0xC0, "Aacute" -> 0xC1, "Acirc" -> 0xC2, "Atilde" -> 0xC3,
+      "Auml" -> 0xC4, "Aring" -> 0xC5, "AElig" -> 0xC6, "Ccedil" -> 0xC7,
+      "Egrave" -> 0xC8, "Eacute" -> 0xC9, "Ecirc" -> 0xCA, "Euml" -> 0xCB,
+      "Igrave" -> 0xCC, "Iacute" -> 0xCD, "Icirc" -> 0xCE, "Iuml" -> 0xCF,
+      "ETH" -> 0xD0, "Ntilde" -> 0xD1, "Ograve" -> 0xD2, "Oacute" -> 0xD3,
+      "Ocirc" -> 0xD4, "Otilde" -> 0xD5, "Ouml" -> 0xD6, "times" -> 0xD7,
+      "Oslash" -> 0xD8, "Ugrave" -> 0xD9, "Uacute" -> 0xDA, "Ucirc" -> 0xDB,
+      "Uuml" -> 0xDC, "Yacute" -> 0xDD, "THORN" -> 0xDE, "szlig" -> 0xDF,
+      "agrave" -> 0xE0, "aacute" -> 0xE1, "acirc" -> 0xE2, "atilde" -> 0xE3,
+      "auml" -> 0xE4, "aring" -> 0xE5, "aelig" -> 0xE6, "ccedil" -> 0xE7,
+      "egrave" -> 0xE8, "eacute" -> 0xE9, "ecirc" -> 0xEA, "euml" -> 0xEB,
+      "igrave" -> 0xEC, "iacute" -> 0xED, "icirc" -> 0xEE, "iuml" -> 0xEF,
+      "eth" -> 0xF0, "ntilde" -> 0xF1, "ograve" -> 0xF2, "oacute" -> 0xF3,
+      "ocirc" -> 0xF4, "otilde" -> 0xF5, "ouml" -> 0xF6, "divide" -> 0xF7,
+      "oslash" -> 0xF8, "ugrave" -> 0xF9, "uacute" -> 0xFA, "ucirc" -> 0xFB,
+      "uuml" -> 0xFC, "yacute" -> 0xFD, "thorn" -> 0xFE, "yuml" -> 0xFF)
+    val punct = Seq(
+      "ndash" -> 0x2013, "mdash" -> 0x2014, "lsquo" -> 0x2018,
+      "rsquo" -> 0x2019, "sbquo" -> 0x201A, "ldquo" -> 0x201C,
+      "rdquo" -> 0x201D, "bdquo" -> 0x201E, "dagger" -> 0x2020,
+      "Dagger" -> 0x2021, "bull" -> 0x2022, "hellip" -> 0x2026,
+      "permil" -> 0x2030, "prime" -> 0x2032, "Prime" -> 0x2033,
+      "lsaquo" -> 0x2039, "rsaquo" -> 0x203A, "oline" -> 0x203E,
+      "euro" -> 0x20AC, "trade" -> 0x2122, "minus" -> 0x2212)
+    (Seq("amp" -> 0x26, "lt" -> 0x3C, "gt" -> 0x3E, "quot" -> 0x22,
+      "apos" -> 0x27, "nbsp" -> 0xA0) ++ latin1 ++ punct)
+      .map { case (n, cp) => n -> new String(Character.toChars(cp)) }.toMap
+  }
+
   def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
     val sb = new StringBuilder(s.length)
@@ -301,20 +360,15 @@ object MicroDoc {
         val semi = s.indexOf(';', i + 1)
         if (semi > i && semi - i <= 10) {
           val ent = s.substring(i + 1, semi)
-          val decoded: String = ent match {
-            case "amp" => "&"
-            case "lt" => "<"
-            case "gt" => ">"
-            case "quot" => "\""
-            case "apos" => "'"
-            case "nbsp" => " "
-            case _ if ent.startsWith("#x") || ent.startsWith("#X") =>
+          val decoded: String = NamedEntities.get(ent) match {
+            case Some(v) => v
+            case None if ent.startsWith("#x") || ent.startsWith("#X") =>
               try new String(Character.toChars(Integer.parseInt(ent.substring(2), 16)))
               catch { case _: Exception => null }
-            case _ if ent.startsWith("#") =>
+            case None if ent.startsWith("#") =>
               try new String(Character.toChars(Integer.parseInt(ent.substring(1))))
               catch { case _: Exception => null }
-            case _ => null
+            case None => null
           }
           if (decoded != null) { sb ++= decoded; i = semi + 1 }
           else { sb += c; i += 1 }

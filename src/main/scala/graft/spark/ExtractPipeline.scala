@@ -31,10 +31,15 @@ object ExtractPipeline {
       |  "http://microformats.org/profile/hcard": {}
       |}""".stripMargin)
 
-  /** Markup pre-filter as a pushable Column predicate. */
+  /** Markup pre-filter as a pushable Column predicate. Case-insensitive:
+    * HTML attribute names are — `<DIV ITEMSCOPE>` parses and extracts, so
+    * the pre-filter must not drop it (the cheap `contains` guard keeps the
+    * regex off rows with no "item" substring at all, the overwhelming
+    * majority).
+    */
   def markupFilter = col("text").isNotNull &&
-    col("text").contains("item") &&
-    col("text").rlike("item(scope|prop|type|ref|id)")
+    lower(col("text")).contains("item") &&
+    col("text").rlike("(?i)item(scope|prop|type|ref|id)")
 
   /** Extract triples from a transcripts DataFrame.
     *
@@ -131,14 +136,29 @@ object ExtractPipeline {
       .format("parquet")
       .saveAsTable(tableName)
 
+  /** IRIREF escaping, Column twin of graft.core.NTriples.escapeIri: the
+    * characters the N-Triples grammar forbids raw inside `<...>` become
+    * \uXXXX. Gated behind an rlike so the (overwhelmingly common) clean IRI
+    * pays one regex probe and nothing else. Backslash replaces FIRST so the
+    * escapes this chain introduces are never re-escaped.
+    */
+  private def escapeIriCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val badChars = ('\\' +: (0.toChar to 0x20.toChar)) ++
+      Seq('<', '>', '"', '{', '}', '|', '^', '`')
+    val esc = badChars.foldLeft(c) { (acc, ch) =>
+      regexp_replace(acc, java.util.regex.Pattern.quote(ch.toString), f"\\\\u${ch.toInt}%04X")
+    }
+    when(c.rlike("[\\x00-\\x20<>\"{}|^`\\\\]"), esc).otherwise(c)
+  }
+
   /** N-Triples text dump (the reference CLI's sink, script/parse:23-31). */
   def toNTriples(triples: Dataset[Triple]): DataFrame = {
     val subj = when(col("subj").startsWith(Extractor.SkolemPrefix),
         concat(lit("_:"), substring(col("subj"), Extractor.SkolemPrefix.length + 1, 1000)))
-      .otherwise(concat(lit("<"), col("subj"), lit(">")))
+      .otherwise(concat(lit("<"), escapeIriCol(col("subj")), lit(">")))
     val objIri = when(col("obj_iri").startsWith(Extractor.SkolemPrefix),
         concat(lit("_:"), substring(col("obj_iri"), Extractor.SkolemPrefix.length + 1, 1000)))
-      .otherwise(concat(lit("<"), col("obj_iri"), lit(">")))
+      .otherwise(concat(lit("<"), escapeIriCol(col("obj_iri")), lit(">")))
     // same escape set as graft.core.NTriples.escape: backslash, quote, the
     // named control escapes \n \r \t, and \uXXXX for every other char
     // < 0x20 (reachable via numeric character references in markup). The
@@ -168,9 +188,11 @@ object ExtractPipeline {
     val escaped = when(named.rlike(ctrl), uEscaped).otherwise(named)
     val lex = concat(lit("\""), escaped, lit("\""))
     val objLit = when(col("obj_lang").isNotNull, concat(lex, lit("@"), col("obj_lang")))
-      .when(col("obj_datatype").isNotNull, concat(lex, lit("^^<"), col("obj_datatype"), lit(">")))
+      .when(col("obj_datatype").isNotNull,
+        concat(lex, lit("^^<"), escapeIriCol(col("obj_datatype")), lit(">")))
       .otherwise(lex)
     val obj = when(col("obj_iri").isNotNull, objIri).otherwise(objLit)
-    triples.select(concat_ws(" ", subj, concat(lit("<"), col("pred"), lit(">")), obj, lit(".")).as("value"))
+    triples.select(concat_ws(" ", subj,
+      concat(lit("<"), escapeIriCol(col("pred")), lit(">")), obj, lit(".")).as("value"))
   }
 }

@@ -314,22 +314,29 @@ class ExtractorSpec extends AnyFunSuite {
     assert(res.triples.isEmpty)
   }
 
-  test("itemref: target inside the item's own subtree fails the crawl (no dup props)") {
-    // reader.rb:403-406: an element dequeued twice raises CrawlFailure →
-    // the item emits NO property triples (type triples precede the crawl)
-    val md = """<div itemscope itemtype="http://schema.org/Person" itemref="inside">
-                  <div id="inside"><span itemprop="name">Ann</span></div>
-                </div>"""
-    val res = extract(md)
-    assert(res.errors.exists(_.contains("reached twice")))
-    assert(res.triples.map(_.pred) == Vector("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"))
+  test("itemref: target inside the item's own subtree still yields its properties") {
+    // reader.rb:403-406's reached-twice CrawlFailure is INERT at runtime
+    // (fresh NodeProxy wrappers never match Array#include?'s identity
+    // compare), so the reference emits the property — possibly twice, the
+    // duplicates collapsing in the graph. Match that observable behavior.
+    check("""<div itemscope itemtype="http://schema.org/Person" itemref="inside">
+              <div id="inside"><span itemprop="name">Ann</span></div>
+            </div>""",
+      """_:a <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://schema.org/Person> .
+         _:a <http://schema.org/name> "Ann" .""")
   }
-  test("itemref: overlapping targets fail the crawl (no dup props)") {
-    val md = """<div itemscope itemtype="http://schema.org/Person" itemref="a b"></div>
-                <div id="a"><span id="b" itemprop="name">Ann</span></div>"""
-    val res = extract(md)
-    assert(res.errors.exists(_.contains("reached twice")))
-    assert(res.triples.map(_.pred) == Vector("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"))
+  test("itemref: overlapping targets yield the property set, not a crawl failure") {
+    check("""<div itemscope itemtype="http://schema.org/Person" itemref="a b"></div>
+             <div id="a"><span id="b" itemprop="name">Ann</span></div>""",
+      """_:a <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://schema.org/Person> .
+         _:a <http://schema.org/name> "Ann" .""")
+  }
+  test("itemprop/itemtype/itemref tokens split on any whitespace run (Ruby split(' ') semantics)") {
+    check("<div itemscope itemtype=\"http://schema.org/Person\nhttp://xmlns.com/foaf/0.1/Person\"><span itemprop=\"name\tfullName\">Ann</span></div>",
+      """_:a <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://schema.org/Person> .
+         _:a <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://xmlns.com/foaf/0.1/Person> .
+         _:a <http://schema.org/name> "Ann" .
+         _:a <http://schema.org/fullName> "Ann" .""")
   }
 
   // ---- propertyURI generation (reader_spec.rb:667-753) ----

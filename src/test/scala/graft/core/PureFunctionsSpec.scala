@@ -96,6 +96,29 @@ class MicroDocSpec extends AnyFunSuite {
     assert(a.attr("href").contains("x?a=1&b=2"))
     assert(a.innerText == "AC/DC & more")
   }
+  test("named entity references decode (Latin-1 block + typographic punctuation)") {
+    val d = MicroDoc.parse("""<span>Caf&eacute; &mdash; M&uuml;ller &hellip; &copy;&nbsp;&euro;5</span>""")
+    assert(d.root.elements.head.innerText == "Café — Müller … © €5")
+    // unknown names still pass through verbatim
+    val u = MicroDoc.parse("""<span>&notaname; stays</span>""")
+    assert(u.root.elements.head.innerText == "&notaname; stays")
+  }
+  test("NTriples: IRIs with grammar-forbidden chars round-trip via \\uXXXX escapes") {
+    import graft.model.{RawTriple, Term}
+    val t = RawTriple("http://x/a>b c", "http://p/q", Term.Iri("http://y/<z>\\w"))
+    val line = NTriples.serialize(Seq(t))
+    assert(!line.matches(".*<[^>]*[ <{}|^`\\\\][^>]*>.*") || line.contains("\\u"),
+      s"raw forbidden char leaked: $line")
+    val back = NTriples.parse(line)
+    assert(back.head.subj == t.subj && back.head.pred == t.pred)
+    assert(back.head.obj == t.obj)
+  }
+  test("NTriples: unterminated literal is a diagnostic, not StringIndexOutOfBounds") {
+    val e = intercept[IllegalArgumentException] {
+      NTriples.parse("<http://s> <http://p> \"unterminated")
+    }
+    assert(e.getMessage.contains("unterminated"))
+  }
   test("first element by id wins; comments and doctype skipped") {
     val d = MicroDoc.parse("""<!DOCTYPE html><!-- c --><p id="a">one</p><p id="a">two</p>""")
     assert(d.byId("a").innerText == "one")

@@ -63,6 +63,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(acc.value > 0)
   }
 
+  test("markup pre-filter is case-insensitive: uppercase attribute rows still extract") {
+    val turns = Seq(
+      ("c1", 0, """<DIV ITEMSCOPE ITEMTYPE="http://schema.org/Person"><SPAN ITEMPROP="name">Ann</SPAN></DIV>"""),
+      ("c2", 0, "no markup at all"))
+      .toDF("conv_id", "turn_idx", "text")
+    val triples = ExtractPipeline.extract(turns).collect()
+    assert(triples.exists(t => t.pred == "http://schema.org/name" && t.obj_lexical == "Ann"))
+  }
+
   test("owlEntail reaches the fixpoint of spo1/eqp1/eqp2 (reference expansion_spec cases)") {
     val base = Seq(
       Triple("http://x/me", "http://x/name", null, "Gregg", null, null, "c", 0),
