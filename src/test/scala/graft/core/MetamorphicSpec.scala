@@ -47,6 +47,28 @@ class MetamorphicSpec extends AnyFunSuite {
     assert(res.passed, res.toString)
   }
 
+  /** Uppercase the tag and attribute NAMES of generated markup (values
+    * untouched — the generator's value words never collide with the name
+    * tokens). Mixed-case artifacts (e.g. dateTIME=) are fine: any case
+    * variant must parse identically.
+    */
+  private def shoutCase(d: String): String =
+    Seq("div", "span", "data", "meta", "time", "section", "a",
+      "itemscope", "itemprop", "itemtype", "itemid",
+      "href", "value", "content", "datetime")
+      .foldLeft(d) { (s, n) =>
+        val u = n.toUpperCase
+        s.replace("<" + n, "<" + u).replace("</" + n, "</" + u)
+          .replace(n + "=", u + "=").replace(" " + n + " ", " " + u + " ")
+      }
+
+  test("ASCII-uppercasing tag and attribute names is inert (HTML case-insensitivity)") {
+    checkProp(Prop.forAll(doc) { d =>
+      TestGraph.isomorphic(TestGraph.extract(d).triples,
+        TestGraph.extract(shoutCase(d)).triples)
+    }, 17)
+  }
+
   test("wrapping a document in inert containers yields an isomorphic graph") {
     checkProp(Prop.forAll(doc) { d =>
       val a = TestGraph.extract(d).triples
