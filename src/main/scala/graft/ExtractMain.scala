@@ -16,6 +16,9 @@ import org.apache.spark.sql.SparkSession
   *     [--base-prefix conv://] [--buckets 256] [--entail] [--ntriples] \
   *     [--validate]
   *
+  * `--entail` requires `--ntriples` (the closure is whole-graph; the
+  * bucketed resume path writes per-bucket batches and refuses the flag).
+  *
   * `--input synthetic:<nTurns>[:<nConvs>]` substitutes the deterministic
   * generated corpus (Transcripts.synthetic) for the parquet read — a
   * data-free smoke/scaling run on any cluster (the generator is
@@ -70,8 +73,18 @@ object ExtractMain {
           .write.mode("overwrite").text(opts("output"))
         obs.get("rows").asInstanceOf[Long]
       } else {
+        // entailment is a WHOLE-GRAPH closure; the bucketed resume path
+        // writes per-bucket batches, where a resumed run would compute the
+        // closure over only the missing buckets — silently partial. Refuse
+        // instead of ignoring the flag (it works with --ntriples, which
+        // materializes the full graph in one pass).
+        require(!opts.contains("entail"),
+          "--entail requires --ntriples: the bucketed resume path cannot " +
+            "apply a whole-graph closure per bucket batch")
         val summary = Resume.writeWithResume(transcripts, opts("output"),
-          opts.getOrElse("buckets", "256").toInt, registry)
+          opts.getOrElse("buckets", "256").toInt, registry,
+          basePrefix = opts.getOrElse("base-prefix", null),
+          errorCounter = errors)
         summary.rowsWritten
       }
     val secs = (System.nanoTime() - t0) / 1e9

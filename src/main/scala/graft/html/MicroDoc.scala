@@ -166,7 +166,10 @@ object MicroDoc {
     val stack = mutable.ArrayBuffer[Elem](root)
     val itemscopeElems = mutable.ArrayBuffer.empty[Elem]
     var hasReverse = false
-    val s = html
+    // the HTML parsing spec replaces U+0000 anywhere in the input stream
+    // with U+FFFD — a raw NUL must never reach text/attribute values (key
+    // encodings downstream use NUL as a separator)
+    val s = if (html.indexOf('\u0000') >= 0) html.replace('\u0000', '\uFFFD') else html
     // ASCII-only lowering, char-for-char: String.toLowerCase is both
     // locale-sensitive ("</SCRIPT>" → "</scrıpt>" under tr_TR misses the
     // close-tag scan) and LENGTH-CHANGING for some mappings (U+0130 → 2
@@ -350,6 +353,16 @@ object MicroDoc {
       .map { case (n, cp) => n -> new String(Character.toChars(cp)) }.toMap
   }
 
+  /** Numeric character reference → string, with the HTML parsing spec's
+    * replacements: NUL, surrogate code points, and out-of-range values all
+    * become U+FFFD (emitting them raw would put invalid UTF-16 — or a NUL
+    * that downstream key encodings treat as a separator — into lexical
+    * forms; getBytes(UTF_8) on a lone surrogate silently writes '?').
+    */
+  private def codePointRef(cp: Int): String =
+    if (cp == 0 || cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF)) "\uFFFD"
+    else new String(Character.toChars(cp))
+
   def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
     val sb = new StringBuilder(s.length)
@@ -363,10 +376,10 @@ object MicroDoc {
           val decoded: String = NamedEntities.get(ent) match {
             case Some(v) => v
             case None if ent.startsWith("#x") || ent.startsWith("#X") =>
-              try new String(Character.toChars(Integer.parseInt(ent.substring(2), 16)))
+              try codePointRef(Integer.parseInt(ent.substring(2), 16))
               catch { case _: Exception => null }
             case None if ent.startsWith("#") =>
-              try new String(Character.toChars(Integer.parseInt(ent.substring(1))))
+              try codePointRef(Integer.parseInt(ent.substring(1)))
               catch { case _: Exception => null }
             case None => null
           }

@@ -113,6 +113,13 @@ object Entailment {
       result = result.union(newDelta)
       delta = newDelta
     }
+    // a non-empty delta at the iteration cap means the closure is
+    // INCOMPLETE — returning it silently would hand downstream a wrong
+    // graph (same invariant ConnectedComponents enforces on its loop)
+    if (!delta.isEmpty)
+      throw new IllegalStateException(
+        s"entailment fixpoint not reached in $maxIterations iterations — " +
+          "the closure is incomplete; raise maxIterations")
     result
   }
 }

@@ -37,14 +37,20 @@ object EntityLink {
   def mentionMapping(triples: Dataset[Triple], keyPredicates: Seq[String],
                      maxKeyDegree: Int = 100000): DataFrame = {
     // mention→key pairs; key nodes are namespaced so they can't collide
-    // with subject ids in the CC node space: the U+0000 separator (written
-    // as an escape to keep this file diffable text) cannot occur in an IRI
-    // or lexical form
+    // with subject ids in the CC node space. The U+0000 separator is made
+    // INJECTIVE by escape-then-delimit (U+0001 is the escape: 01→ 0101,
+    // 00→ 0102): extraction already maps NUL to U+FFFD per the HTML spec,
+    // but triples can also arrive from N-Triples files whose \\u0000 escapes
+    // smuggle a raw NUL into pred/lexical — without this, (P, "a\\0b") and
+    // ("P\\0a", b) would share a key and silently merge unrelated entities.
+    // (All escapes are source escape sequences; the file stays plain text.)
+    def escSep(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(c, "\u0001", "\u0001\u0001"), "\u0000", "\u0001\u0002")
     val mk = triples
       .filter(col("pred").isin(keyPredicates: _*) && col("obj_lexical").isNotNull)
       .filter(col("subj").startsWith(graft.core.Extractor.SkolemPrefix))
       .select(col("subj").as("src"),
-        concat(col("pred"), lit("\u0000"), col("obj_lexical")).as("key"))
+        concat(escSep(col("pred")), lit("\u0000"), escSep(col("obj_lexical"))).as("key"))
       .localCheckpoint() // consumed twice (degree count + salt join)
     val deg = mk.groupBy(col("key"))
       .agg(ceil(count(lit(1)).cast("double") / maxKeyDegree).cast("int").as("n_salts"))

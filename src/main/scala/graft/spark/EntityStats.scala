@@ -22,11 +22,16 @@ object EntityStats {
     * differs (phase 1: (subj, salt) keys, phase 2: `salt` rows per subject).
     */
   def bySubject(triples: Dataset[Triple], salt: Int = 16): DataFrame = {
-    // salt on (conv_id, turn_idx): a hot subject whose triples all come from
-    // ONE conversation still spreads across `salt` reducers (a conv_id-only
-    // salt would give it a single constant salt value)
+    // salt on (conv_id, turn_idx, pred, obj): a hot subject whose triples
+    // all come from ONE conversation still spreads (a conv_id-only salt
+    // would be constant for it), and so do ENTAILMENT-DERIVED triples,
+    // which all carry conv_id=null/turn_idx=-1 — a lineage-only salt
+    // degenerates to one constant for exactly the unbounded derived family.
+    // Deterministic (content columns only), so the two-phase result is
+    // plan-independent; the salt never appears in the output.
     val salted = triples.withColumn("salt",
-      pmod(hash(col("conv_id"), col("turn_idx")), lit(salt)))
+      pmod(hash(col("conv_id"), col("turn_idx"), col("pred"),
+        coalesce(col("obj_iri"), col("obj_lexical"))), lit(salt)))
     val partial = salted.groupBy(col("subj"), col("salt")).agg(
       count(lit(1)).as("p_triples"),
       collect_set(col("pred")).as("p_pred_set"))

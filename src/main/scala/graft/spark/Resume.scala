@@ -43,10 +43,23 @@ object Resume {
 
   /** Extract + write all buckets not yet committed. Call again after a crash
     * (or with new data in the same buckets — buckets are all-or-nothing).
+    *
+    * @param basePrefix   forwarded to extraction (per-turn base URIs) — the
+    *                     CLI's --base-prefix applies on THIS path too
+    * @param errorCounter forwarded to extraction so --validate sees soft
+    *                     errors from the bucketed writes
+    * @param transform    per-bucket-batch triple transform (e.g. entailment
+    *                     closure) applied before writing; MUST be
+    *                     deterministic so a crashed bucket rewrites
+    *                     idempotently
     */
   def writeWithResume(transcripts: DataFrame, outDir: String, nBuckets: Int = 64,
                       registry: RegistryIndex = ExtractPipeline.defaultRegistry,
-                      io: TableIO = TableIO.default): Summary = {
+                      io: TableIO = TableIO.default,
+                      basePrefix: String = null,
+                      errorCounter: org.apache.spark.util.LongAccumulator = null,
+                      transform: org.apache.spark.sql.Dataset[graft.model.Triple] =>
+                        org.apache.spark.sql.Dataset[graft.model.Triple] = identity): Summary = {
     val done = completedBuckets(outDir)
     val all = 0 until nBuckets
     val todo = all.filterNot(done)
@@ -55,7 +68,8 @@ object Resume {
     val bucketed = transcripts
       .withColumn("bucket", pmod(crc32(col("conv_id")), lit(nBuckets)))
       .filter(col("bucket").isin(todo: _*))
-    val triples = ExtractPipeline.extract(bucketed.drop("bucket"), registry)
+    val triples = transform(
+        ExtractPipeline.extract(bucketed.drop("bucket"), registry, basePrefix, errorCounter))
       .withColumn("bucket", pmod(crc32(col("conv_id")), lit(nBuckets)))
 
     // dynamic overwrite (writer-scoped option, not a session-wide conf):

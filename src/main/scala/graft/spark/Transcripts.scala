@@ -62,7 +62,10 @@ object Transcripts {
       col("o_orderkey"), col("o_orderstatus"), date_format(col("o_orderdate"), "yyyy-MM-dd"))
     o.select(
       concat(lit("oconv-"), (col("o_orderkey") % 50).cast("string")).as("conv_id"),
-      (col("o_orderkey") / 1000).cast("int").as("turn_idx"),
+      // orderkey/20 is unique per filtered row (keys are multiples of 20),
+      // so (conv_id, turn_idx) — and therefore docId — never collides
+      // across distinct documents (orderkey/1000 collapsed 10 docs per key)
+      (col("o_orderkey") / 20).cast("int").as("turn_idx"),
       lit("assistant").as("role"),
       markup.as("text"),
       lit(null).cast("string").as("tool"),
@@ -129,7 +132,12 @@ object Transcripts {
       id, id, id, id % 5)
     spark.range(0, nTurns).select(
       concat(lit("bconv-"), convNum.cast("string")).as("conv_id"),
-      (id / nConvs).cast("int").as("turn_idx"),
+      // hot rows index their turns by hotConvs so (conv_id, turn_idx)
+      // stays unique inside hot conversations too — the skew remap would
+      // otherwise give many turns of one hot conv the same turn_idx and
+      // collapse their docIds
+      when(id % 10 === 0, (id / hotConvs).cast("int"))
+        .otherwise((id / nConvs).cast("int")).as("turn_idx"),
       element_at(array(lit("user"), lit("assistant"), lit("tool")),
         (id % 3).cast("int") + 1).as("role"),
       when(id % 4 === 3, format_string("Plain chat turn %d with no structured data.", id))
