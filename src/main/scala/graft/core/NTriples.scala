@@ -141,7 +141,9 @@ object NTriples {
         (Term.Lit(lex, lang = rest.substring(1, end)), rest.substring(end))
       } else if (rest.startsWith("^^<")) {
         val e = rest.indexOf('>')
-        (Term.Lit(lex, datatype = rest.substring(3, e)), rest.substring(e + 1))
+        // unescape like every other IRI position — the writer \uXXXX-escapes
+        // datatype IRIs too, and an unescaped read breaks round-tripping
+        (Term.Lit(lex, datatype = unescape(rest.substring(3, e))), rest.substring(e + 1))
       } else (Term.Lit(lex), rest)
     } else sys.error(s"cannot parse term at: $s")
   }

@@ -15,7 +15,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * materializes an intermediate array per row-pair; for all-pairs similarity
   * that allocation dominates. This expression generates a tight primitive
   * loop inside whole-stage codegen — same result bit-for-bit (same
-  * accumulation order), no intermediates.
+  * accumulation order), no intermediates — INCLUDING the degenerate-input
+  * semantics: length-mismatched arrays and null elements yield NULL (the
+  * zip_with form pads/propagates null), never a silently truncated or
+  * zero-filled sum. The per-element null check is only generated when the
+  * child schema says elements CAN be null.
   */
 case class FloatDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -31,14 +35,23 @@ case class FloatDotProduct(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
+  // null also for ragged / null-element inputs, not just null inputs
+  override def nullable: Boolean = true
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
@@ -54,13 +67,22 @@ case class FloatDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
          |""".stripMargin
     })
 

@@ -96,7 +96,10 @@ object MultimodalOps {
     media.mapPartitions { it =>
       it.grouped(256).flatMap(_.iterator.map { r =>
         val m = fakeDecode(r)
-        if (r.kind != "image" || (m.width <= maxDim && m.height <= maxDim)) r
+        // header-only payloads (empty body) have nothing to resample —
+        // without this guard the tabulate below indexes body(-1)
+        if (r.kind != "image" || (m.width <= maxDim && m.height <= maxDim) ||
+          r.payload.length <= 16) r
         else {
           val scale = maxDim.toDouble / math.max(m.width, m.height)
           val w = math.max((m.width * scale).toInt, 1)
@@ -119,6 +122,7 @@ object MultimodalOps {
     * per-frame ops parallelize row-wise.
     */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Int = 1000): Dataset[MediaFrame] = {
+    require(everyMs > 0, "everyMs must be positive") // fail at the driver, not per-row
     import media.sparkSession.implicits._
     decodeMeta(media).filter(col("kind") === "video").as[MediaMeta].flatMap { m =>
       (0 until math.max(m.duration_ms / everyMs, 1)).map { i =>
@@ -137,6 +141,8 @@ object MultimodalOps {
     val parts = math.max(
       (totalRows * math.max(rowBytesEstimate, 1) + targetBytes - 1) / targetBytes,
       media.sparkSession.sparkContext.defaultParallelism.toLong)
-    media.repartition(parts.toInt)
+    // clamp before toInt: at 10^12 rows × MB-scale payloads the long count
+    // exceeds Int.MaxValue and a raw toInt wraps negative
+    media.repartition(math.min(parts, Int.MaxValue.toLong).toInt)
   }
 }

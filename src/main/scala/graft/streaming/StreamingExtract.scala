@@ -25,9 +25,10 @@ object StreamingExtract {
     ExtractPipeline.extract(turns, registry)
   }
 
-  /** Event-time windowed triple counts per conversation: 1-minute tumbling
-    * windows with a 5-minute watermark (late turns beyond that are dropped,
-    * deterministically).
+  /** Event-time windowed MARKUP-TURN counts per conversation (turns passing
+    * the markup pre-filter — a throughput/arrival metric, not a triple
+    * count): 1-minute tumbling windows with a 5-minute watermark (late
+    * turns beyond that are dropped, deterministically).
     */
   def windowedConvCounts(spark: SparkSession, inputDir: String): DataFrame = {
     val turns = spark.readStream.schema(Turn.schema).parquet(inputDir)
@@ -91,7 +92,12 @@ object StreamingExtract {
           cur =
             if (cur == null) SessionState(t, t, 1)
             else if (t - cur.lastMs > gapMs) { closed ::= close(cur); SessionState(t, t, 1) }
-            else cur.copy(lastMs = math.max(cur.lastMs, t), n = cur.n + 1)
+            // an in-watermark event can still predate the open session's
+            // start (cross-batch out-of-order arrival): session_start must
+            // move DOWN too, or the emitted bounds diverge from the batch
+            // lag-window truth this operator is proven equal to
+            else cur.copy(startMs = math.min(cur.startMs, t),
+              lastMs = math.max(cur.lastMs, t), n = cur.n + 1)
         }
         if (cur != null) {
           state.update(cur)

@@ -39,4 +39,21 @@ class FloatDotProductSpec extends AnyFunSuite {
     val r = df.select(FloatDotProduct($"a", $"b")).as[Double].collect()
     assert(r.toSeq == Seq(11.0, 0.0))
   }
+
+  test("ragged lengths and null elements yield NULL, matching the zip_with form") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Seq[java.lang.Float](1.0f, 2.0f), Seq[java.lang.Float](3.0f, 4.0f, 5.0f)), // ragged
+      (Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](2.0f, 3.0f)),        // null elem
+      (Seq[java.lang.Float](1.0f, 2.0f), Seq[java.lang.Float](3.0f, 4.0f)))        // clean
+      .toDF("a", "b")
+    val native = df.select(FloatDotProduct($"a", $"b").as("d")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val composed = df.select(
+        aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (s, v) => s + v).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(native.toSeq == composed.toSeq)
+    assert(native.toSeq == Seq(None, None, Some(11.0)))
+  }
 }
