@@ -62,10 +62,14 @@ object CcBench {
         .localCheckpoint()
       uf.count()
     }
-    // distributed loop (threshold 0)
+    // distributed loop (threshold 0) — localCheckpoint symmetrically with
+    // the union-find branch so both timings include materialization and
+    // the mismatch join below reads cached blocks for BOTH sides (without
+    // it, the join would silently re-run the whole distributed CC)
     var dist: org.apache.spark.sql.DataFrame = null
     val (distRows, distSecs) = timed {
       dist = ConnectedComponents.run(edges, unionFindMaxEdges = 0)
+        .localCheckpoint()
       dist.count()
     }
     // exact agreement: both (node, component) sets identical — reuse the

@@ -114,6 +114,7 @@ object NTriples {
     val s = in.dropWhile(_.isWhitespace)
     if (s.startsWith("<")) {
       val e = s.indexOf('>')
+      require(e >= 0, s"bad NT line (unterminated IRI): $in")
       (Term.Iri(unescape(s.substring(1, e))), s.substring(e + 1))
     } else if (s.startsWith("_:")) {
       val e = s.indexWhere(c => c.isWhitespace || c == '.')
@@ -141,6 +142,7 @@ object NTriples {
         (Term.Lit(lex, lang = rest.substring(1, end)), rest.substring(end))
       } else if (rest.startsWith("^^<")) {
         val e = rest.indexOf('>')
+        require(e >= 0, s"bad NT line (unterminated datatype IRI): $in")
         // unescape like every other IRI position — the writer \uXXXX-escapes
         // datatype IRIs too, and an unescaped read breaks round-tripping
         (Term.Lit(lex, datatype = unescape(rest.substring(3, e))), rest.substring(e + 1))

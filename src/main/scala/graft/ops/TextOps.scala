@@ -296,12 +296,18 @@ object TextOps {
     * regex / RE2 semantics so the oracle replays them). One codegen'd
     * projection — no UDFs, no shuffle; at 100 TB this is scan-bound.
     */
-  def scrubPii(df: DataFrame, textCol: String): DataFrame =
+  def scrubPii(df: DataFrame, textCol: String): DataFrame = {
+    // phones are counted on the EMAIL-MASKED text (the same text the phone
+    // replacement runs on), so n_phones always equals the number of
+    // emitted <PHONE> tokens — a phone-shaped substring inside an email
+    // local part ('+','-' are legal there) is consumed by <EMAIL>, and
+    // counting it as a phone would make counts and masks disagree
+    val emailMasked = regexp_replace(col(textCol), EmailPattern, "<EMAIL>")
     df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailPattern)))
-      .withColumn("n_phones", regexp_count(col(textCol), lit(PhonePattern)))
+      .withColumn("n_phones", regexp_count(emailMasked, lit(PhonePattern)))
       .withColumn("clean_text",
-        regexp_replace(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
-          PhonePattern, "<PHONE>"))
+        regexp_replace(emailMasked, PhonePattern, "<PHONE>"))
+  }
 
   /** Corpus-level top-k n-grams by total occurrence count (the global
     * vocabulary/statistics table of a training-data pipeline).

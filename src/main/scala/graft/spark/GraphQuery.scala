@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * the consumer-side role RDF.rb's `Queryable#query` plays for the
   * reference reader's output (reference: rdf-microdata feeds RDF.rb
   * repositories; spec/reader_spec.rb exercises `parse(...).query`-style
-  * matching via graph equivalence).
+  * matching via graph equivalence, and expansion.rb:102-117 executes
+  * patterns against a loaded repository).
   *
   * A pattern is a (subject, predicate, object) triple of terms; each term
   * is a constant ([[GraphQuery.C]]) or a named variable ([[GraphQuery.V]]).
@@ -16,16 +17,26 @@ import org.apache.spark.sql.functions._
   * Spark-first shape — the whole query stays declarative so Catalyst does
   * the planning:
   *  - each pattern compiles to a filtered projection of the triple table;
-  *    constant terms become pushable predicates (`PushedFilters` reach the
-  *    parquet scan — a `?s rdf:type :Person` pattern never reads
-  *    non-type rows);
+  *    constant terms become pushable predicates (plain column equalities
+  *    and IsNull/Or combinations, so `PushedFilters` reach the parquet
+  *    scan — a `?s rdf:type :Person` pattern never reads non-type rows);
+  *  - when the table is a [[ExtractPipeline.writeGraph]] layout (a
+  *    `pred_bucket` partition column), a constant-predicate pattern also
+  *    filters `pred_bucket = pmod(hash(pred), n)` — the hash folds to a
+  *    literal at plan time, so the scan PRUNES partitions: at 100 TB a
+  *    `rdf:type` pattern touches 1/n of the directories, not all of them;
   *  - patterns join pairwise on their shared variables (equi-joins on
   *    binding columns — co-partitioned shuffles, or BroadcastHashJoin when
   *    a selective pattern leaves a small side; AQE re-plans at runtime);
-  *  - pattern order is chosen greedily for connectivity, so no join is
-  *    ever a cartesian product: a disconnected pattern set is rejected
-  *    instead of silently exploding (at 100 TB a cartesian between
-  *    pattern frames is the scale-killer this operator must never emit).
+  *  - join order is SELECTIVITY-GREEDY within the connectivity constraint:
+  *    patterns are costed from a one-pass predicate-frequency stats map
+  *    ([[predStats]] — preds are vocabulary-bounded, so the map is
+  *    catalog-stat-sized) discounted per bound constant, the cheapest
+  *    pattern seeds the join, and each step joins the cheapest CONNECTED
+  *    pattern — so two big patterns never join before a selective one can
+  *    shrink the bindings. A disconnected pattern set is rejected instead
+  *    of silently exploding (at 100 TB a cartesian between pattern frames
+  *    is the scale-killer this operator must never emit).
   *
   * Object bindings surface as `coalesce(obj_iri, obj_lexical)` — IRIs and
   * literal lexical forms share one binding domain, mirroring how the
@@ -39,46 +50,113 @@ object GraphQuery {
   /** Constant IRI or literal lexical form. */
   final case class C(value: String) extends Term
 
-  /** Solve the basic graph pattern over (subj, pred, obj_iri, obj_lexical,
-    * ...) triples; returns one column per distinct variable name.
+  /** One-pass predicate-frequency stats over a persisted graph: the
+    * vocabulary registry bounds distinct preds, so this is a catalog-stat
+    * map (dozens of rows), computed with a single partial-agg groupBy and
+    * reused across every query against the table.
     */
-  def bgp(triples: DataFrame, patterns: Seq[(Term, Term, Term)]): DataFrame = {
+  def predStats(triples: DataFrame): Map[String, Long] =
+    triples.groupBy(col("pred")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Solve the basic graph pattern over (subj, pred, obj_iri, obj_lexical,
+    * ...) triples; returns one column per distinct variable name, in
+    * first-mention order.
+    *
+    * @param predBuckets when > 0 and the frame carries a `pred_bucket`
+    *        column (the [[ExtractPipeline.writeGraph]] layout), constant-
+    *        predicate patterns add the partition-pruning bucket filter.
+    * @param stats predicate frequencies from [[predStats]]; empty map =
+    *        cost by constant count only.
+    */
+  def bgp(triples: DataFrame, patterns: Seq[(Term, Term, Term)],
+          predBuckets: Int = 0, stats: Map[String, Long] = Map.empty): DataFrame = {
     require(patterns.nonEmpty, "empty BGP")
     require(patterns.forall(p => Seq(p._1, p._2, p._3).exists(_.isInstanceOf[V])),
       "variable-free patterns (pure existence checks) are not supported: " +
         "they cannot join on a shared variable — evaluate the constant " +
         "triple separately and gate the query on its result")
-    val frames = patterns.map(compile(triples, _))
 
-    // greedy connected join order: always join a pattern sharing ≥1
-    // variable with the bindings accumulated so far
-    val remaining = scala.collection.mutable.ArrayBuffer(frames: _*)
-    var acc = remaining.remove(0)
-    while (remaining.nonEmpty) {
-      val i = remaining.indexWhere(f => f._2.exists(acc._2.contains))
-      require(i >= 0,
-        s"disconnected BGP: patterns over ${remaining.map(_._2).mkString(",")} share no " +
+    // (frame, vars, estimated rows, original index); index breaks cost
+    // ties deterministically
+    val items = scala.collection.mutable.ArrayBuffer.tabulate(patterns.size) { i =>
+      val (df, vars) = compile(triples, patterns(i), predBuckets)
+      (df, vars, estimate(patterns(i), stats), i)
+    }
+    def takeCheapest(ok: Seq[String] => Boolean): Option[(DataFrame, Seq[String])] = {
+      val cands = items.zipWithIndex.collect {
+        case ((df, vs, e, i), pos) if ok(vs) => ((df, vs), (e, i), pos)
+      }
+      if (cands.isEmpty) None
+      else {
+        val best = cands.minBy(_._2)
+        items.remove(best._3)
+        Some(best._1)
+      }
+    }
+
+    var acc = takeCheapest(_ => true).get
+    while (items.nonEmpty) {
+      val next = takeCheapest(vs => vs.exists(acc._2.contains))
+      require(next.isDefined,
+        s"disconnected BGP: patterns over ${items.map(_._2).mkString(",")} share no " +
           s"variable with {${acc._2.mkString(",")}} — a cartesian product is refused")
-      val next = remaining.remove(i)
-      val shared = next._2.filter(acc._2.contains)
-      acc = (acc._1.join(next._1, shared), (acc._2 ++ next._2).distinct)
+      val (ndf, nvs) = next.get
+      val shared = nvs.filter(acc._2.contains)
+      acc = (acc._1.join(ndf, shared), (acc._2 ++ nvs).distinct)
     }
     // variables surface in first-mention order regardless of join order
-    acc._1.select(acc._2.map(col): _*).distinct()
+    val outVars = patterns
+      .flatMap(p => Seq(p._1, p._2, p._3)).collect { case V(n) => n }.distinct
+    acc._1.select(outVars.map(col): _*).distinct()
   }
 
-  /** One pattern → (bindings frame, variable names). Constants filter (and
-    * push down); a variable repeated inside one pattern becomes an equality
-    * filter (e.g. `?x :sameAs ?x`).
+  /** Estimated result rows for one pattern: the predicate's frequency when
+    * known (an absent pred estimates 0 — maximally selective, the join
+    * empties immediately), the whole table when not, discounted 100× per
+    * bound subject/object constant (unknown value distribution — the
+    * factor only needs to rank "more constants = fewer rows" consistently,
+    * not predict cardinality).
     */
-  private def compile(triples: DataFrame, p: (Term, Term, Term)): (DataFrame, Seq[String]) = {
+  private[spark] def estimate(p: (Term, Term, Term), stats: Map[String, Long]): Long = {
+    val total =
+      if (stats.nonEmpty) math.max(stats.valuesIterator.sum, 1L) else Long.MaxValue / 4
+    val (base, discounts) = p._2 match {
+      case C(v) if stats.nonEmpty =>
+        (stats.getOrElse(v, 0L), Seq(p._1, p._3).count(_.isInstanceOf[C]))
+      case C(_) => // unknown pred frequency: the constant still discounts
+        (total, 1 + Seq(p._1, p._3).count(_.isInstanceOf[C]))
+      case _ => (total, Seq(p._1, p._3).count(_.isInstanceOf[C]))
+    }
+    (0 until discounts).foldLeft(base)((e, _) => if (e > 0) math.max(e / 100, 1L) else 0L)
+  }
+
+  /** One pattern → (bindings frame, variable names). Constants filter as
+    * pushable predicates; a variable repeated inside one pattern becomes an
+    * equality filter (e.g. `?x :sameAs ?x`).
+    */
+  private def compile(triples: DataFrame, p: (Term, Term, Term),
+                      predBuckets: Int): (DataFrame, Seq[String]) = {
+    val hasBucket = predBuckets > 0 && triples.columns.contains("pred_bucket")
+    var df = triples
     val slots = Seq("subj" -> p._1, "pred" -> p._2, "obj" -> p._3)
-    var df = triples.select(col("subj"), col("pred"),
-      coalesce(col("obj_iri"), col("obj_lexical")).as("obj"))
     slots.foreach {
-      case (c, C(v)) => df = df.filter(col(c) === v)
+      case ("pred", C(v)) =>
+        df = df.filter(col("pred") === v)
+        if (hasBucket) // hash(lit) constant-folds → literal partition filter
+          df = df.filter(col("pred_bucket") === pmod(hash(lit(v)), lit(predBuckets)))
+      case ("subj", C(v)) => df = df.filter(col("subj") === v)
+      case ("obj", C(v)) =>
+        // Triple's object is (obj_iri XOR obj_lexical) — this disjunction
+        // is exactly coalesce(obj_iri, obj_lexical) = v, but built from
+        // EqualTo/IsNull/Or so it PUSHES to the parquet scan (a coalesce
+        // comparison does not)
+        df = df.filter(col("obj_iri") === v ||
+          (col("obj_iri").isNull && col("obj_lexical") === v))
       case _ => ()
     }
+    df = df.select(col("subj"), col("pred"),
+      coalesce(col("obj_iri"), col("obj_lexical")).as("obj"))
     val varSlots = slots.collect { case (c, V(n)) => (c, n) }
     varSlots.groupBy(_._2).foreach { case (_, cs) =>
       cs.drop(1).foreach { case (c, _) => df = df.filter(col(c) === col(cs.head._1)) }

@@ -119,6 +119,16 @@ class MicroDocSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("unterminated"))
   }
+  test("NTriples: unterminated IRIs are diagnostics, not StringIndexOutOfBounds") {
+    val e1 = intercept[IllegalArgumentException] {
+      NTriples.parse("<http://s")
+    }
+    assert(e1.getMessage.contains("unterminated IRI"))
+    val e2 = intercept[IllegalArgumentException] {
+      NTriples.parse("<http://s> <http://p> \"x\"^^<http://dt")
+    }
+    assert(e2.getMessage.contains("unterminated datatype IRI"))
+  }
   test("first element by id wins; comments and doctype skipped") {
     val d = MicroDoc.parse("""<!DOCTYPE html><!-- c --><p id="a">one</p><p id="a">two</p>""")
     assert(d.byId("a").innerText == "one")

@@ -93,6 +93,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(3L)._1 == 2 && out(3L)._2 == 2)
   }
 
+  test("scrubPii: phone-shaped substring inside an email is not double-counted") {
+    // '+' and '-' are legal email local-part chars, so the whole token is
+    // one email; the embedded +1-555-1234 is consumed by <EMAIL> and must
+    // NOT be counted as a phone (counts always equal emitted tokens)
+    val df = Seq((1L, "reach a+1-555-1234@b.co today")).toDF("doc_id", "text")
+    val r = TextOps.scrubPii(df, "text")
+      .select($"n_emails", $"n_phones", $"clean_text").collect().head
+    assert(r.getInt(0) == 1 && r.getInt(1) == 0)
+    assert(r.getString(2) == "reach <EMAIL> today")
+  }
+
   test("stratifiedSample: per-stratum rates honored, membership stable under growth") {
     def corpus(n: Long) = (0L until n)
       .map(i => (i, s"doc $i", s"src${i % 4}")).toDF("doc_id", "text", "source")

@@ -65,6 +65,66 @@ class GraphQuerySpec extends AnyFunSuite {
       s"cartesian leaked into:\n$plan")
   }
 
+  test("bgp cost model: pred frequency ranks patterns; constants discount; absent pred = 0") {
+    val stats = Map(TypeP -> 1000L, "name" -> 400L, "knows" -> 20L)
+    val typePat: (GraphQuery.Term, GraphQuery.Term, GraphQuery.Term) =
+      (V("x"), C(TypeP), C("Person"))
+    val namePat: (GraphQuery.Term, GraphQuery.Term, GraphQuery.Term) =
+      (V("x"), C("name"), V("n"))
+    val knowsPat: (GraphQuery.Term, GraphQuery.Term, GraphQuery.Term) =
+      (V("x"), C("knows"), V("y"))
+    val absentPat: (GraphQuery.Term, GraphQuery.Term, GraphQuery.Term) =
+      (V("x"), C("nope"), V("y"))
+    // the object constant discounts the hot rdf:type pattern below the
+    // bare selective-pred pattern
+    assert(GraphQuery.estimate(typePat, stats) == 10L)
+    assert(GraphQuery.estimate(namePat, stats) == 400L)
+    assert(GraphQuery.estimate(knowsPat, stats) == 20L)
+    assert(GraphQuery.estimate(absentPat, stats) == 0L)
+    // stats-free fallback: more constants = cheaper
+    assert(GraphQuery.estimate(typePat, Map.empty) <
+      GraphQuery.estimate(knowsPat, Map.empty))
+  }
+
+  test("bgp with stats: selectivity-ordered join returns identical bindings") {
+    val stats = GraphQuery.predStats(graph)
+    val pats = Seq[(GraphQuery.Term, GraphQuery.Term, GraphQuery.Term)](
+      (V("x"), C(TypeP), C("Person")),
+      (V("x"), C("knows"), V("y")),
+      (V("y"), C("name"), V("n")))
+    val base = bgp(graph, pats).collect().map(_.toSeq).toSet
+    val ordered = bgp(graph, pats, stats = stats).collect().map(_.toSeq).toSet
+    assert(ordered == base && base.nonEmpty)
+  }
+
+  test("bgp over persisted writeGraph layout: pushdown + partition pruning, same results") {
+    import org.apache.spark.sql.functions.col
+    val turns = Seq(
+      ("c1", 0, """<div itemscope itemtype="http://schema.org/Person" itemid="http://x/p1"><span itemprop="name">Ann</span><link itemprop="nation" href="http://x/n1"/></div>"""),
+      ("c2", 0, """<div itemscope itemtype="http://schema.org/Country" itemid="http://x/n1"><span itemprop="name">Norway</span></div>"""))
+      .toDF("conv_id", "turn_idx", "text")
+    val triples = ExtractPipeline.extract(turns)
+    val tmp = java.nio.file.Files.createTempDirectory("gq_graph_").toString
+    ExtractPipeline.writeGraph(triples, tmp, predBuckets = 8)
+    val persisted = spark.read.parquet(tmp)
+    val pats = Seq[(GraphQuery.Term, GraphQuery.Term, GraphQuery.Term)](
+      (V("p"), C(TypeP), C("http://schema.org/Person")),
+      (V("p"), C("http://schema.org/name"), V("name")),
+      (V("p"), C("http://schema.org/nation"), V("nat")),
+      (V("nat"), C("http://schema.org/name"), V("nat_name")))
+    val out = bgp(persisted, pats, predBuckets = 8, stats = GraphQuery.predStats(persisted))
+    assert(out.collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSeq == Seq(("http://x/p1", "Ann", "http://x/n1", "Norway")))
+    // the constant-pred filter reaches the parquet scan, and the folded
+    // bucket hash prunes partitions at the scan node
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(pred,"),
+      s"pred filter not pushed:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("pred_bucket"),
+      s"bucket pruning missing:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("bgp: driver-shaped 4-pattern query matches hand computation on extracted triples") {
     val turns = Seq(
       ("c1", 0, """<div itemscope itemtype="http://schema.org/Person" itemid="http://x/p1"><span itemprop="name">Ann</span><link itemprop="nation" href="http://x/n1"/></div>"""),
