@@ -67,6 +67,24 @@ object Bench {
     val (triples, extractSecs) = extractionThroughput(spark, nTurns)
     val tps = (triples / extractSecs).toLong
 
+    // stored-hyperplane vs portable-LCG LSH bucketing (same bits — spec
+    // asserts identity; this line evidences the deployment path's speedup).
+    // Bucketing stage only: the downstream candidate join is identical.
+    import org.apache.spark.sql.functions.{col, size => asize, sum => asum}
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("string").as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val dim = embs.select(asize(col("embedding"))).head().getInt(0)
+    def lshSecs(stored: Option[Int]): Double = median((0 until Samples).map { _ =>
+      timeIt {
+        try graft.ops.VectorOps.lshBuckets(embs, 8, 4, stored)
+          .agg(asum(col("bucket"))).head().getLong(0)
+        catch { case e: Throwable => System.err.println(s"[bench] lsh: $e"); -1L }
+      }._2
+    })
+    val lshLcg = lshSecs(None)
+    val lshStored = lshSecs(Some(dim))
+
     def dict(sel: ((String, Double, Double, Double)) => Double) =
       results.map(t => "\"" + t._1 + "\":" + f"${sel(t)}%.3f").mkString("{", ",", "}")
     val qs = dict(_._2)
@@ -75,8 +93,9 @@ object Bench {
     val total = results.map(_._2).sum + extractSecs
     val totalStr = f"$total%.3f"
     val exStr = f"$extractSecs%.3f"
+    val lshStr = f""""lsh_lcg_secs":$lshLcg%.3f,"lsh_stored_secs":$lshStored%.3f,"lsh_stored_speedup":${lshLcg / lshStored}%.2f"""
     val json =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","samples":$Samples,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"sf":"$sfDir","extract_turns":$nTurns,"extract_triples":$triples,"extract_secs":$exStr,"triples_per_sec":$tps}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","samples":$Samples,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"sf":"$sfDir","extract_turns":$nTurns,"extract_triples":$triples,"extract_secs":$exStr,"triples_per_sec":$tps,$lshStr}"""
     // machine-readable in two redundant ways (round-1 driver parse failed
     // on sbt log prefixes): a fixed file, and a bare final stdout line
     // printed after spark.stop() so no shutdown logging trails it

@@ -16,7 +16,7 @@ object Plans {
       "sim_kmeans_assign", "sim_ivf_kmeans", "mm_feature_dups",
       "q1_pricing", "q3_top_orders", "doc_jaccard_pairs", "sim_cosine_pairs",
       "sim_topk", "sim_lsh_pairs", "sim_ivf_topk", "doc_minhash_pairs",
-      "doc_simhash_pairs", "doc_top_quality", "doc_token_stats",
+      "doc_simhash_pairs", "doc_top_quality", "doc_token_stats", "sim_ivf_twolevel",
       "doc_substring_dups", "doc_decontam", "doc_split", "doc_pii_scrub",
       "doc_ngram_top", "doc_sample_strata", "doc_quality_filters", "doc_rarity",
       "kg_bgp_person_nation", "doc_train_set", "doc_chunks")

@@ -425,6 +425,16 @@ object SparkEntry {
         .select(col("vec_a"), col("vec_b"), col("cos_sim"), col("rank").cast("long").as("rank"))
         .orderBy(col("vec_a"), col("rank"))),
 
+    // two-level IVF (m1 x m2 = 1024 cells — the design past the broadcast
+    // ceiling): level-1 model is the only broadcast/literal state; level-2
+    // sub-quantizers are a DATA-sized table reached by equi-join on the
+    // coarse cell, never collected
+    "sim_ivf_twolevel" -> ((s, dir) =>
+      VectorOps.ivfTwoLevelTopK(table(s, dir, "embeddings"), m1 = 64, m2 = 16,
+          nProbe1 = 4, nProbe2 = 2, k = 5)
+        .select(col("vec_a"), col("vec_b"), col("cos_sim"), col("rank").cast("long").as("rank"))
+        .orderBy(col("vec_a"), col("rank"))),
+
     // deterministic k-means IVF trainer: cosine Lloyd iterations whose
     // centroid updates accumulate FIXED-POINT longs (exact, commutative →
     // partition-order independent), so the trained model and the final
@@ -1017,6 +1027,38 @@ object SparkEntry {
           |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos_sim, rank FROM r WHERE rank <= 5 ORDER BY vec_a, rank""".stripMargin,
 
       "sim_kmeans_assign" -> kmeansOracle(m = 8, iters = 2),
+
+      // replays the full two-level chain: coarse centroids (64 smallest
+      // ids) → home assignment → per-cell sub-centroids (16 smallest-id
+      // members) → probe 4 coarse × 2 sub cells → exact-cosine rank
+      "sim_ivf_twolevel" ->
+        """WITH ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          |c1 AS (SELECT CAST(vec_id AS VARCHAR) AS c_id, emb AS c_emb FROM ed ORDER BY vec_id LIMIT 64),
+          |cs AS (SELECT e.vec_id, c.c_id,
+          |    COALESCE(list_dot_product(e.emb, c.c_emb) / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))), -2.0) AS ccos
+          |  FROM ed e, c1 c),
+          |cr AS (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS pr FROM cs),
+          |home1 AS (SELECT vec_id, c_id AS coarse FROM cr WHERE pr <= 1),
+          |qcoarse AS (SELECT vec_id, c_id AS coarse FROM cr WHERE pr <= 4),
+          |subc AS (SELECT h.coarse, CAST(h.vec_id AS VARCHAR) AS sub_id, e.emb AS s_emb
+          |  FROM (SELECT vec_id, coarse, row_number() OVER (PARTITION BY coarse ORDER BY vec_id) AS rn FROM home1) h
+          |  JOIN ed e ON e.vec_id = h.vec_id WHERE h.rn <= 16),
+          |ss_q AS (SELECT p.vec_id, p.coarse, s.sub_id,
+          |    COALESCE(list_dot_product(e.emb, s.s_emb) / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(s.s_emb, s.s_emb))), -2.0) AS scos
+          |  FROM qcoarse p JOIN ed e ON e.vec_id = p.vec_id JOIN subc s ON s.coarse = p.coarse),
+          |qcells AS (SELECT vec_id, coarse || '|' || sub_id AS cell FROM
+          |  (SELECT vec_id, coarse, sub_id, row_number() OVER (PARTITION BY vec_id, coarse ORDER BY scos DESC, sub_id) AS sr FROM ss_q) t WHERE sr <= 2),
+          |ss_c AS (SELECT p.vec_id, p.coarse, s.sub_id,
+          |    COALESCE(list_dot_product(e.emb, s.s_emb) / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(s.s_emb, s.s_emb))), -2.0) AS scos
+          |  FROM home1 p JOIN ed e ON e.vec_id = p.vec_id JOIN subc s ON s.coarse = p.coarse),
+          |ccells AS (SELECT vec_id, coarse || '|' || sub_id AS cell FROM
+          |  (SELECT vec_id, coarse, sub_id, row_number() OVER (PARTITION BY vec_id, coarse ORDER BY scos DESC, sub_id) AS sr FROM ss_c) t WHERE sr <= 1),
+          |pairs AS (SELECT q.vec_id AS vec_a, c.vec_id AS vec_b FROM qcells q JOIN ccells c ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+          |sc AS (SELECT vec_a, vec_b,
+          |    list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+          |  FROM pairs JOIN ed a ON a.vec_id = vec_a JOIN ed b ON b.vec_id = vec_b),
+          |r AS (SELECT vec_a, vec_b, cos, row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b) AS rank FROM sc)
+          |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos_sim, rank FROM r WHERE rank <= 5 ORDER BY vec_a, rank""".stripMargin,
 
       "sim_ivf_kmeans" -> kmeansIvfOracle(m = 8, iters = 2, nProbe = 2, k = 5),
 

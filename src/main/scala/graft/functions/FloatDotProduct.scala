@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst dot product over two `ARRAY<FLOAT>` columns, in double
+/** Native Catalyst dot product over two `ARRAY<FLOAT|DOUBLE>` columns (each
+  * side independently typed — a stored model side is double), in double
   * precision, sequential index-order accumulation.
   *
   * The composable alternative (`aggregate(zip_with(a, b, _*_), 0d, _+_)`)
@@ -26,12 +27,12 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"float_dot expects ARRAY<FLOAT> inputs, got ${left.dataType} / ${right.dataType}")
+      s"float_dot expects ARRAY<FLOAT|DOUBLE> inputs, got ${left.dataType} / ${right.dataType}")
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
@@ -43,16 +44,27 @@ case class FloatDotProduct(left: Expression, right: Expression)
     case _ => false
   })
 
+  // each side is float OR double (a stored model side is double); a float
+  // element is widened exactly, so mixed-type accumulation is bit-identical
+  // to the all-double composable form
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    val (aD, bD) = (isDouble(left), isDouble(right))
     val n = a.numElements()
     if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      val x = if (aD) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bD) b.getDouble(i) else b.getFloat(i).toDouble
+      acc += x * y
       i += 1
     }
     acc
@@ -71,6 +83,8 @@ case class FloatDotProduct(left: Expression, right: Expression)
         if (elementsNullable)
           s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
         else ""
+      val getA = if (isDouble(left)) s"$a.getDouble($i)" else s"(double)$a.getFloat($i)"
+      val getB = if (isDouble(right)) s"$b.getDouble($i)" else s"(double)$b.getFloat($i)"
       s"""
          |int $n = $a.numElements();
          |if ($b.numElements() != $n) {
@@ -79,7 +93,7 @@ case class FloatDotProduct(left: Expression, right: Expression)
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    $nullCheck
-         |    $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+         |    $acc += $getA * $getB;
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}

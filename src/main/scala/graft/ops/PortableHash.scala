@@ -127,4 +127,32 @@ object PortableHash {
     (0 until nBits).map { b =>
       s"(CASE WHEN (${lshProjSql(emb, s"($tableId)*$nBits + $b")}) >= 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** Scalar twin of [[plane]] (every intermediate is non-negative here, so
+    * `%` and pmod agree) — the ingredient for the stored-matrix path.
+    */
+  def planeValue(k: Long, d: Int): Double = {
+    require(k >= 0, "hyperplane index must be non-negative")
+    val v = ((k % 1000003L) * 8191L + d) * 1103515245L + 12345L
+    ((v % 2000L).toDouble - 1000.0) / 1000.0
+  }
+
+  /** STORED-hyperplane variant of [[lshBucket]] — the deployment fast path.
+    * Same bits, different physics: the plane values are precomputed into
+    * literal double arrays (nBits·dim doubles per table — model-sized plan
+    * literals, shipped once with the plan like a broadcast), so each
+    * projection is one tight codegen'd [[graft.functions.FloatDotProduct]]
+    * loop instead of re-deriving the LCG per element per row. Bit-identical
+    * buckets to the LCG path: identical double plane values, identical
+    * index-order double accumulation (spec-verified) — so the portable-LCG
+    * path remains the oracle-parity twin and this path is a drop-in.
+    * Needs the dimensionality up front (fixed at deployment).
+    */
+  def lshBucketStored(emb: Column, tableId: Int, nBits: Int, dim: Int): Column =
+    (0 until nBits).map { b =>
+      val k = tableId.toLong * nBits + b
+      val planeArr = typedlit((0 until dim).map(d => planeValue(k, d)))
+      when(graft.functions.FloatDotProduct(emb, planeArr) >= 0, lit(1L << b))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
 }

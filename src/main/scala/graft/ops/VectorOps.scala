@@ -108,8 +108,8 @@ object VectorOps {
     * cosine: precision exact, recall = 1−(1−p^nBits)^nTables per pair.
     */
   def lshBucketedPairs(embs: DataFrame, nBits: Int, nTables: Int,
-                       threshold: Double): DataFrame = {
-    val cand = lshCandidates(embs, nBits, nTables)
+                       threshold: Double, storedDim: Option[Int] = None): DataFrame = {
+    val cand = lshCandidates(embs, nBits, nTables, storedDim)
     val e = withNorm(embs)
     cand
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")), "vec_a")
@@ -119,12 +119,40 @@ object VectorOps {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
   }
 
-  /** Distinct candidate pairs sharing ≥1 LSH bucket in ≥1 table. */
-  def lshCandidates(embs: DataFrame, nBits: Int, nTables: Int): DataFrame = {
-    val tabled = embs.select(col("vec_id"), col("embedding"))
-      .withColumn("table_id", explode(array((0 until nTables).map(lit): _*)))
-      .withColumn("bucket", PortableHash.lshBucket(col("embedding"), col("table_id"), nBits))
-      .select(col("vec_id"), col("table_id"), col("bucket"))
+  /** Per-(vector, table) bucket ids — the LSH bucketing stage, one exploded
+    * codegen'd pass over the corpus.
+    *
+    * `storedDim = Some(d)` switches bucket computation to the precomputed
+    * stored-hyperplane matrix ([[PortableHash.lshBucketStored]]) — same
+    * bits (spec-verified identical), one tight dot-product loop per
+    * hyperplane instead of per-element LCG re-derivation; the default LCG
+    * path stays the oracle-parity twin. The bench reports both timings
+    * (`lsh_lcg_secs` / `lsh_stored_secs`): this stage is where they differ,
+    * the downstream candidate join is byte-identical.
+    */
+  def lshBuckets(embs: DataFrame, nBits: Int, nTables: Int,
+                 storedDim: Option[Int] = None): DataFrame =
+    storedDim match {
+      case Some(dim) =>
+        embs.select(col("vec_id"), explode(array((0 until nTables).map { t =>
+            struct(lit(t).as("table_id"),
+              PortableHash.lshBucketStored(col("embedding"), t, nBits, dim).as("bucket"))
+          }: _*)).as("tb"))
+          .select(col("vec_id"), col("tb.table_id").as("table_id"),
+            col("tb.bucket").as("bucket"))
+      case None =>
+        embs.select(col("vec_id"), col("embedding"))
+          .withColumn("table_id", explode(array((0 until nTables).map(lit): _*)))
+          .withColumn("bucket", PortableHash.lshBucket(col("embedding"), col("table_id"), nBits))
+          .select(col("vec_id"), col("table_id"), col("bucket"))
+    }
+
+  /** Distinct candidate pairs sharing ≥1 LSH bucket in ≥1 table; see
+    * [[lshBuckets]] for the `storedDim` fast path.
+    */
+  def lshCandidates(embs: DataFrame, nBits: Int, nTables: Int,
+                    storedDim: Option[Int] = None): DataFrame = {
+    val tabled = lshBuckets(embs, nBits, nTables, storedDim)
     tabled.as("x").join(tabled.as("y"),
         col("x.table_id") === col("y.table_id") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -404,6 +432,87 @@ object VectorOps {
     rankCellPairs(
       kmeansAssign(e, cents, literalMaxCentroids, nProbe).select(col("vec_id"), col("cell")),
       kmeansAssign(e, cents, literalMaxCentroids, 1).select(col("vec_id"), col("cell")),
+      e, k)
+  }
+
+  /** Two-level IVF approximate top-k — the design for cell counts PAST the
+    * broadcast ceiling (SURVEY §4.4: 10⁶ flat cells × 768 dims ≈ 6 GB of
+    * centroids, too big to broadcast or literal-fold). The quantizer
+    * factorizes into m1 × m2 cells with a model shape that scales:
+    *
+    *  - **level 1** (m1 ≈ 10³ coarse cells): a bounded MODEL — the same
+    *    adaptive [[ivfAssign]] machinery (literal fold ≤ literalMax,
+    *    BroadcastHashJoin + bounded TopKByScore beyond). Only this level
+    *    is ever driver/broadcast state.
+    *  - **level 2** (m2 sub-cells PER coarse cell): a DATA-sized table
+    *    (coarse, sub_id, emb), never collected and never broadcast —
+    *    vectors reach their coarse cell's sub-quantizer through a plain
+    *    co-partitioned equi-join on `coarse`, and per-vector top-nProbe2
+    *    runs through the bounded TopKByScore aggregate (O(nProbe2) reducer
+    *    memory, map-side partials). At 10¹² vectors the sub-quantizer is
+    *    just another shuffled table keyed by coarse cell.
+    *
+    * Both levels stay deterministic and trainless (centroids = smallest-id
+    * members — level 1 globally, level 2 within each coarse cell), so the
+    * whole index build + probe + rank chain is bit-for-bit replayable by
+    * the DuckDB oracle (sim_ivf_twolevel); swap in [[kmeansCentroids]] per
+    * level at deployment without changing any plan shape.
+    *
+    * Candidates are indexed under their single nearest (coarse, sub) cell;
+    * queries probe nProbe1 coarse × nProbe2 sub cells; pairs meet at most
+    * once (probe cells are distinct, each candidate lives in ONE cell), so
+    * no dedup shuffle — exactly [[ivfTopK]]'s tail, ranked by exact cosine.
+    */
+  def ivfTwoLevelTopK(embs: DataFrame, m1: Int, m2: Int, nProbe1: Int,
+                      nProbe2: Int, k: Int,
+                      literalMaxCentroids: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(embs).localCheckpoint() // one materialization, all stages
+    val cents1 = e.orderBy(col("vec_id")).limit(m1)
+      .select(col("vec_id").cast("string").as("c_id"),
+        col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val c1 = cents1.collect() // level-1 model only — m1 rows, never level 2
+    def coarseAssign(nP: Int): DataFrame =
+      assignCells(e, c1.length,
+        c1.toIndexedSeq.map { r =>
+          struct(lit(r.get(0)).as("cell"),
+            typedlit(r.getSeq[Float](1)).as("c_emb"),
+            lit(r.getDouble(2)).as("c_nrm"))
+        },
+        cents1, dot, nP, literalMaxCentroids, keep = Seq("vec_id"))
+        .withColumnRenamed("cell", "coarse")
+
+    // home coarse cell feeds BOTH the sub-quantizer build and the candidate
+    // index — materialize once
+    val home1 = coarseAssign(1).localCheckpoint()
+    // level-2 sub-centroids: each coarse cell's m2 smallest-id members
+    // (m1·m2 rows total — data, not model; reused by both assignment calls)
+    val subCents = home1.join(e, "vec_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("coarse")).orderBy(col("vec_id"))))
+      .filter(col("rn") <= m2)
+      .select(col("coarse"), col("vec_id").cast("string").as("sub_id"),
+        col("embedding").as("s_emb"), col("nrm").as("s_nrm"))
+      .localCheckpoint()
+
+    // nProbe2 nearest sub-cells within each probed coarse cell: equi-join
+    // on coarse + bounded top-k — the level-2 model is never broadcast
+    def subAssign(probes: DataFrame, nP2: Int): DataFrame =
+      probes.join(e, "vec_id")
+        .join(subCents, "coarse")
+        .select(col("vec_id"), col("coarse"),
+          safeCos(dot(col("embedding"), col("s_emb")),
+            col("nrm") * col("s_nrm")).as("scos"),
+          col("sub_id"))
+        .groupBy(col("vec_id"), col("coarse"))
+        .agg(graft.functions.TopKByScore(col("scos"), col("sub_id"), nP2).as("top"))
+        .select(col("vec_id"), col("coarse"), explode(col("top")).as("p"))
+        .select(col("vec_id"),
+          concat(col("coarse"), lit("|"), col("p.payload")).as("cell"))
+
+    rankCellPairs(
+      subAssign(coarseAssign(nProbe1), nProbe2),
+      subAssign(home1, 1),
       e, k)
   }
 

@@ -37,6 +37,50 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(top1.forall(r => r.getString(1) == r.getString(0) + "_p"))
   }
 
+  test("two-level IVF with one sub-cell per coarse cell equals single-level IVF") {
+    // m2 = 1 collapses level 2: every coarse cell has exactly one sub-cell,
+    // so a pair meets iff the query probes the candidate's home coarse cell
+    // — exactly the single-level semantics. The full chains must agree.
+    val one = VectorOps.ivfTopK(corpus, m = 16, nProbe = 4, k = 1)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"), col("rank"))
+      .collect().map(_.toSeq).toSet
+    val two = VectorOps.ivfTwoLevelTopK(corpus, m1 = 16, m2 = 1, nProbe1 = 4,
+        nProbe2 = 1, k = 1)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"), col("rank"))
+      .collect().map(_.toSeq).toSet
+    assert(two == one && one.nonEmpty)
+  }
+
+  test("two-level IVF: valid ranks, no duplicate pairs, no cartesian in plan") {
+    val out = VectorOps.ivfTwoLevelTopK(corpus, m1 = 8, m2 = 4, nProbe1 = 4,
+      nProbe2 = 2, k = 3)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => { val k = r.getInt(3); k >= 1 && k <= 3 }))
+    val pairs = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.distinct.length == pairs.length, "a pair met in two cells")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cartesian leaked into:\n$plan")
+  }
+
+  test("stored-hyperplane LSH path: bit-identical buckets and pairs to the LCG path") {
+    val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    // bucket-level identity across every (vector, table)
+    val lcg = VectorOps.lshCandidates(corpus, nBits = 8, nTables = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val stored = VectorOps.lshCandidates(corpus, nBits = 8, nTables = 4,
+        storedDim = Some(dim))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(stored == lcg && lcg.nonEmpty)
+    // end-to-end pair identity (verified cosine included)
+    val pLcg = VectorOps.lshBucketedPairs(corpus, 8, 4, 0.9)
+      .collect().map(_.toSeq).toSet
+    val pStored = VectorOps.lshBucketedPairs(corpus, 8, 4, 0.9, storedDim = Some(dim))
+      .collect().map(_.toSeq).toSet
+    assert(pStored == pLcg && pLcg.nonEmpty)
+  }
+
   test("near-dup groups pair every original with exactly its copy") {
     val groups = VectorOps.nearDupGroups(corpus, nBits = 8, nTables = 4, threshold = 0.9)
       .collect().map(r => (r.getString(0), r.getString(1)))

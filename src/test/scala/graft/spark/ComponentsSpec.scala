@@ -122,6 +122,62 @@ class ComponentsSpec extends AnyFunSuite {
     assert(out.contains((2L, "2026-01-01 10:02:00.0", "2026-01-01 10:02:00.0", 1L)))
   }
 
+  test("Streaming sessionization resumes from checkpoint with exactly-once output") {
+    import graft.streaming.StreamingExtract.{SessionEvent, sessionStream}
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val b1 = Seq(SessionEvent(1L, ts("2026-01-01 10:00:00")), SessionEvent(1L, ts("2026-01-01 10:05:00")),
+      SessionEvent(1L, ts("2026-01-01 11:30:00")), SessionEvent(2L, ts("2026-01-01 10:02:00")))
+    val b2 = Seq(SessionEvent(9L, ts("2026-01-01 20:00:00")))
+    val b3 = Seq(SessionEvent(9L, ts("2026-01-01 23:00:00")))
+
+    def readOut(out: String) = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3)))
+
+    // one incarnation of the query against (in, cp, out); parquet sink +
+    // checkpointLocation is the exactly-once contract under restart
+    def run(in: String, cp: String, out: String): Unit = {
+      val src = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[SessionEvent]].schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/*").as[SessionEvent]
+      val q = sessionStream(src, gapMinutes = 30)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", cp).outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    // interrupted: process b1, stop (simulated kill), land b2+b3, restart
+    // the SAME query from its checkpoint (offsets + session state + sink
+    // commit log all restored)
+    val a = Files.createTempDirectory("graftresume_a").toString
+    b1.toDS().coalesce(1).write.parquet(s"$a/in/b1")
+    run(s"$a/in", s"$a/cp", s"$a/out")
+    val afterKill = readOut(s"$a/out").toSet
+    b2.toDS().coalesce(1).write.parquet(s"$a/in/b2")
+    b3.toDS().coalesce(1).write.parquet(s"$a/in/b3")
+    run(s"$a/in", s"$a/cp", s"$a/out")
+
+    // uninterrupted twin: same batches, one incarnation
+    val u = Files.createTempDirectory("graftresume_u").toString
+    b1.toDS().coalesce(1).write.parquet(s"$u/in/b1")
+    b2.toDS().coalesce(1).write.parquet(s"$u/in/b2")
+    b3.toDS().coalesce(1).write.parquet(s"$u/in/b3")
+    run(s"$u/in", s"$u/cp", s"$u/out")
+
+    val resumed = readOut(s"$a/out")
+    val straight = readOut(s"$u/out")
+    // exactly-once: no session row duplicated across the restart...
+    assert(resumed.distinct.length == resumed.length)
+    // ...the pre-kill emissions are a strict subset (work genuinely spans
+    // the restart: batch 1's gap-proof close fires before the kill)...
+    assert(afterKill.nonEmpty && afterKill.subsetOf(resumed.toSet))
+    assert(resumed.toSet != afterKill)
+    // ...and the resumed output equals the uninterrupted run's exactly
+    assert(resumed.toSet == straight.toSet && straight.nonEmpty)
+    assert(resumed.toSet.contains((1L, "2026-01-01 10:00:00.0", "2026-01-01 10:05:00.0", 2L)))
+  }
+
   test("Streaming sessionization equals the batch events_sessions query on the full sf0.001 events table") {
     import graft.streaming.StreamingExtract.{SessionEvent, sessionStream}
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
