@@ -12,6 +12,12 @@ object TestGraph {
   lazy val testRegistry: RegistryIndex =
     RegistryIndex.fromJson(resource("/golden/test-registry.json"))
 
+  /** The reference's shipped registry (etc/registry.json copy) — the one a
+    * real deployment loads; used by the real-world `examples/` goldens.
+    */
+  lazy val fullRegistry: RegistryIndex =
+    RegistryIndex.fromJson(resource("/golden/registry.json"))
+
   def resource(path: String): String = {
     val in = getClass.getResourceAsStream(path)
     require(in != null, s"missing test resource $path")
