@@ -29,3 +29,11 @@ rm -rf "$OUT/graph"
 echo "== Re-run over the committed manifest: resume is a no-op =="
 "$SPARK_SUBMIT" --master "$MASTER" --class graft.ExtractMain "$JAR" \
   --input "synthetic:$TURNS" --output "$OUT/graph" --buckets 32 2>/dev/null | tail -1
+
+echo "== Consumer-side BGP query over the materialized graph (QueryMain) =="
+# works over any Triple-schema parquet dir; a writeGraph pred_bucket layout
+# additionally gets partition pruning via its _graft_layout.json metadata
+rm -rf "$OUT/bindings"
+"$SPARK_SUBMIT" --master "$MASTER" --class graft.QueryMain "$JAR" \
+  --graph "$OUT/graph" --output "$OUT/bindings" --show 3 \
+  --pattern '?s <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ?t' 2>/dev/null | tail -5

@@ -71,19 +71,25 @@ object Bench {
     // asserts identity; this line evidences the deployment path's speedup).
     // Bucketing stage only: the downstream candidate join is identical.
     import org.apache.spark.sql.functions.{col, size => asize, sum => asum}
-    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id").cast("string").as("vec_id"), col("embedding"))
-      .localCheckpoint()
-    val dim = embs.select(asize(col("embedding"))).head().getInt(0)
-    def lshSecs(stored: Option[Int]): Double = median((0 until Samples).map { _ =>
-      timeIt {
-        try graft.ops.VectorOps.lshBuckets(embs, 8, 4, stored)
-          .agg(asum(col("bucket"))).head().getLong(0)
-        catch { case e: Throwable => System.err.println(s"[bench] lsh: $e"); -1L }
-      }._2
-    })
-    val lshLcg = lshSecs(None)
-    val lshStored = lshSecs(Some(dim))
+    // whole block failure-tolerant like the per-query loop: a missing or
+    // empty embeddings table must not abort the bench after every query
+    // timing was already collected (−1 marks the line unusable)
+    val (lshLcg, lshStored) =
+      try {
+        val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id").cast("string").as("vec_id"), col("embedding"))
+          .localCheckpoint()
+        val dim = embs.select(asize(col("embedding"))).head().getInt(0)
+        def lshSecs(stored: Option[Int]): Double = median((0 until Samples).map { _ =>
+          timeIt {
+            graft.ops.VectorOps.lshBuckets(embs, 8, 4, stored)
+              .agg(asum(col("bucket"))).head().getLong(0)
+          }._2
+        })
+        (lshSecs(None), lshSecs(Some(dim)))
+      } catch {
+        case e: Throwable => System.err.println(s"[bench] lsh: $e"); (-1.0, -1.0)
+      }
 
     def dict(sel: ((String, Double, Double, Double)) => Double) =
       results.map(t => "\"" + t._1 + "\":" + f"${sel(t)}%.3f").mkString("{", ",", "}")
@@ -93,7 +99,8 @@ object Bench {
     val total = results.map(_._2).sum + extractSecs
     val totalStr = f"$total%.3f"
     val exStr = f"$extractSecs%.3f"
-    val lshStr = f""""lsh_lcg_secs":$lshLcg%.3f,"lsh_stored_secs":$lshStored%.3f,"lsh_stored_speedup":${lshLcg / lshStored}%.2f"""
+    val lshSpeedup = if (lshLcg > 0 && lshStored > 0) lshLcg / lshStored else -1.0
+    val lshStr = f""""lsh_lcg_secs":$lshLcg%.3f,"lsh_stored_secs":$lshStored%.3f,"lsh_stored_speedup":$lshSpeedup%.2f"""
     val json =
       s"""{"metric":"total","value":$totalStr,"unit":"sec","samples":$Samples,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"sf":"$sfDir","extract_turns":$nTurns,"extract_triples":$triples,"extract_secs":$exStr,"triples_per_sec":$tps,$lshStr}"""
     // machine-readable in two redundant ways (round-1 driver parse failed

@@ -1,0 +1,114 @@
+package graft
+
+import graft.spark.{GraftSession, GraphQuery}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** spark-submit entry point for CONSUMER-side graph querying — the
+  * distributed counterpart of RDF.rb's `Queryable#query` over a loaded
+  * repository (the role the reference's output feeds;
+  * /root/reference/lib/rdf/microdata/expansion.rb:102-117 runs patterns
+  * against the parsed repo). Runs a basic graph pattern against a
+  * persisted [[graft.spark.ExtractPipeline.writeGraph]] table:
+  *
+  *   spark-submit --class graft.QueryMain <jar> \
+  *     --graph  /path/to/graph \
+  *     --output /path/to/bindings \
+  *     --pattern '?c <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://schema.org/Person>' \
+  *     --pattern '?c <http://schema.org/name> ?name' \
+  *     [--show 20]
+  *
+  * Pattern terms: `?name` = variable, `<uri>` = IRI constant, `"text"` =
+  * literal constant. The graph's own layout metadata supplies the
+  * pred_bucket count (partition pruning) and a one-pass predicate stats
+  * map orders the joins by selectivity — see [[graft.spark.GraphQuery]].
+  * Bindings are written as parquet; `--show N` additionally prints the
+  * first N rows as TSV.
+  */
+object QueryMain {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      GraftSession.fromSubmit(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt))
+    spark.sparkContext.setLogLevel("WARN")
+    val n = run(args, spark)
+    println(s"Matched $n bindings.")
+    spark.stop()
+  }
+
+  /** Parse args, run the BGP, write bindings; returns the row count.
+    * Separated from `main` so the suite can drive the full CLI path
+    * without owning JVM exit/session lifecycle.
+    */
+  def run(args: Array[String], spark: SparkSession): Long = {
+    val (opts, patternStrs) = parseArgs(args)
+    val patterns = patternStrs.map(parsePattern)
+    val g = GraphQuery.loadGraph(spark, opts("graph"))
+    val out: DataFrame = GraphQuery.bgp(g, patterns)
+    // count rides the write as an observed metric — no cache, no re-scan
+    val obs = org.apache.spark.sql.Observation()
+    out.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(opts("output"))
+    val rows = obs.get("rows").asInstanceOf[Long]
+    opts.get("show").foreach { k =>
+      val bindings = spark.read.parquet(opts("output"))
+      println(bindings.columns.mkString("\t"))
+      bindings.limit(k.toInt).collect()
+        .foreach(r => println(r.toSeq.map(String.valueOf).mkString("\t")))
+    }
+    rows
+  }
+
+  /** One pattern string → three terms. Tokenizes on whitespace outside
+    * `<...>` / `"..."` so literal constants may contain spaces.
+    */
+  private[graft] def parsePattern(s: String): (GraphQuery.Term, GraphQuery.Term, GraphQuery.Term) = {
+    val toks = tokenize(s)
+    require(toks.length == 3,
+      s"pattern needs exactly 3 terms (?var, <iri>, or \"literal\"): $s")
+    (term(toks(0)), term(toks(1)), term(toks(2)))
+  }
+
+  private def term(t: String): GraphQuery.Term = t match {
+    case v if v.startsWith("?") && v.length > 1 => GraphQuery.V(v.drop(1))
+    case i if i.startsWith("<") && i.endsWith(">") && i.length > 2 =>
+      GraphQuery.C(i.substring(1, i.length - 1))
+    case l if l.startsWith("\"") && l.endsWith("\"") && l.length >= 2 =>
+      GraphQuery.C(l.substring(1, l.length - 1))
+    case other => sys.error(s"cannot parse term '$other': use ?var, <iri>, or \"literal\"")
+  }
+
+  private def tokenize(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var inIri = false
+    var inLit = false
+    s.foreach { c =>
+      if (inIri) { cur += c; if (c == '>') inIri = false }
+      else if (inLit) { cur += c; if (c == '"') inLit = false }
+      else if (c == '<') { cur += c; inIri = true }
+      else if (c == '"') { cur += c; inLit = true }
+      else if (c.isWhitespace) { if (cur.nonEmpty) { out += cur.result(); cur.clear() } }
+      else cur += c
+    }
+    if (cur.nonEmpty) out += cur.result()
+    require(!inIri && !inLit, s"unterminated <iri> or \"literal\" in pattern: $s")
+    out.result()
+  }
+
+  /** `--pattern` repeats; everything else is key/value. */
+  private def parseArgs(args: Array[String]): (Map[String, String], Vector[String]) = {
+    @annotation.tailrec
+    def loop(rest: List[String], acc: Map[String, String],
+             pats: Vector[String]): (Map[String, String], Vector[String]) = rest match {
+      case Nil => (acc, pats)
+      case "--pattern" :: v :: tail => loop(tail, acc, pats :+ v)
+      case k :: v :: tail if k.startsWith("--") => loop(tail, acc + (k.drop(2) -> v), pats)
+      case other :: _ => sys.error(s"unexpected argument: $other")
+    }
+    val (m, pats) = loop(args.toList, Map.empty, Vector.empty)
+    require(m.contains("graph") && m.contains("output"), "--graph and --output are required")
+    require(pats.nonEmpty, "at least one --pattern is required")
+    (m, pats)
+  }
+}

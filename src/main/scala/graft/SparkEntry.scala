@@ -36,15 +36,19 @@ object SparkEntry {
     * (a deployment's graph already exists), cached per (dir, sf).
     */
   private val graphCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Map[String, Long])]()
-  private def persistedCustomerGraph(s: SparkSession, dir: String): (DataFrame, Map[String, Long]) = {
-    val (path, stats) = graphCache.computeIfAbsent(dir, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_graph_").toString
-      ExtractPipeline.writeGraph(customerTriples(s, dir), tmp, GraphPredBuckets)
-      (tmp, graft.spark.GraphQuery.predStats(s.read.parquet(tmp)))
+    new java.util.concurrent.ConcurrentHashMap[String, graft.spark.GraphQuery.PersistedGraph]()
+  private def persistedCustomerGraph(s: SparkSession, dir: String): graft.spark.GraphQuery.PersistedGraph =
+    graphCache.computeIfAbsent(dir, _ => {
+      // deterministic per-input path (not createTempDirectory): repeated
+      // bench/verify runs OVERWRITE one graph copy instead of leaking a
+      // fresh directory per JVM
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val path = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_graph_$key").toString
+      ExtractPipeline.writeGraph(customerTriples(s, dir), path, GraphPredBuckets)
+      graft.spark.GraphQuery.loadGraph(s, path)
     })
-    (s.read.parquet(path), stats)
-  }
 
   /** Flagship: full extraction pipeline over all three transcript shapes
     * at sf=0.001; driver smoke-checks rows>0.
@@ -266,13 +270,11 @@ object SparkEntry {
     // refused by construction
     "kg_bgp_person_nation" -> ((s, dir) => {
       import graft.spark.GraphQuery.{C, V}
-      val (graph, stats) = persistedCustomerGraph(s, dir)
-      graft.spark.GraphQuery.bgp(graph, Seq(
+      graft.spark.GraphQuery.bgp(persistedCustomerGraph(s, dir), Seq(
           (V("c"), C(RdfType), C("http://schema.org/Person")),
           (V("c"), C("http://schema.org/name"), V("name")),
           (V("c"), C("http://schema.org/nation"), V("nat")),
-          (V("nat"), C("http://schema.org/name"), V("nat_name"))),
-          predBuckets = GraphPredBuckets, stats = stats)
+          (V("nat"), C("http://schema.org/name"), V("nat_name"))))
         .orderBy(col("c"))
     }),
 

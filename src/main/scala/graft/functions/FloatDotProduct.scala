@@ -46,7 +46,10 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
   // each side is float OR double (a stored model side is double); a float
   // element is widened exactly, so mixed-type accumulation is bit-identical
-  // to the all-double composable form
+  // to the all-double composable form. Element types are fixed per plan —
+  // lazy vals, not per-row dataType pattern matches in the eval loop.
+  private lazy val aD: Boolean = isDouble(left)
+  private lazy val bD: Boolean = isDouble(right)
   private def isDouble(e: Expression): Boolean = e.dataType match {
     case ArrayType(DoubleType, _) => true
     case _ => false
@@ -55,7 +58,6 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val (aD, bD) = (isDouble(left), isDouble(right))
     val n = a.numElements()
     if (b.numElements() != n) return null
     var acc = 0.0

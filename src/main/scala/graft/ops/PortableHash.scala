@@ -148,11 +148,17 @@ object PortableHash {
     * path remains the oracle-parity twin and this path is a drop-in.
     * Needs the dimensionality up front (fixed at deployment).
     */
-  def lshBucketStored(emb: Column, tableId: Int, nBits: Int, dim: Int): Column =
-    (0 until nBits).map { b =>
+  def lshBucketStored(emb: Column, tableId: Int, nBits: Int, dim: Int): Column = {
+    val bits = (0 until nBits).map { b =>
       val k = tableId.toLong * nBits + b
       val planeArr = typedlit((0 until dim).map(d => planeValue(k, d)))
       when(graft.functions.FloatDotProduct(emb, planeArr) >= 0, lit(1L << b))
         .otherwise(lit(0L))
     }.reduce(_ + _)
+    // a vector whose length != dim gets a NULL bucket (dropped by the
+    // bucket equi-join → pairs with nothing), never a silent bucket 0 that
+    // would false-pair it with every bucket-0 vector; the LCG path takes
+    // each vector's own length, so ragged corpora should use that path
+    when(size(emb) === dim, bits)
+  }
 }

@@ -306,12 +306,16 @@ object VectorOps {
 
   // ---------- deterministic k-means trainer (IVF coarse quantizer) ----------
 
-  /** Σ aᵢbᵢ with a DOUBLE-array side (trained centroids): sequential
-    * index-order fold, bit-identical to DuckDB's list_dot_product.
+  /** Σ aᵢbᵢ with a DOUBLE-array side (trained centroids): the same native
+    * codegen'd expression as [[dot]] — FloatDotProduct accepts a double
+    * side with exact float→double widening, so this is bit-identical to
+    * both the old `aggregate(zip_with(...))` fold and DuckDB's
+    * list_dot_product (sequential index-order double accumulation, null on
+    * ragged/null-element inputs), without the per-(row, centroid)
+    * intermediate array the composable form allocates.
     */
   private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (s, v) => s + v)
+    graft.functions.FloatDotProduct(a, b)
 
   /** Stable cell id whose STRING order equals its numeric order. */
   def kmeansCellId(i: Int): String = f"c$i%04d"

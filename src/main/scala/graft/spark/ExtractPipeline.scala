@@ -116,10 +116,21 @@ object ExtractPipeline {
     * the [[TableIO]] seam (parquet here; Iceberg in deployment).
     */
   def writeGraph(triples: Dataset[Triple], outDir: String, predBuckets: Int = 16,
-                 io: TableIO = TableIO.default): Unit =
+                 io: TableIO = TableIO.default): Unit = {
     io.write(
       triples.withColumn("pred_bucket", pmod(hash(col("pred")), lit(predBuckets))),
       outDir, Seq("pred_bucket"))
+    // self-describing layout: the bucket count is a property of the TABLE,
+    // not of any query against it — persist it so readers
+    // ([[GraphQuery.loadGraph]]) never have to guess (a guessed-wrong count
+    // would silently empty every constant-pred pattern). Underscore prefix
+    // keeps the file invisible to Spark's parquet listing, like _SUCCESS.
+    // (Iceberg binding: the partition spec in the catalog plays this role.)
+    val p = java.nio.file.Paths.get(outDir)
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.writeString(p.resolve("_graft_layout.json"),
+        s"""{"pred_buckets":$predBuckets}""" + "\n")
+  }
 
   /** Materialize the graph as a SUBJECT-BUCKETED table: `buckets` hash
     * buckets on `subj`, sorted within buckets. Self-joins and star-pattern

@@ -59,6 +59,37 @@ object GraphQuery {
     triples.groupBy(col("pred")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
+  /** A [[ExtractPipeline.writeGraph]] table opened for querying: frame +
+    * the layout's own bucket count + predicate stats.
+    */
+  final case class PersistedGraph(df: DataFrame, predBuckets: Int,
+                                  stats: Map[String, Long])
+
+  /** Open a persisted graph directory: reads the layout's OWN bucket count
+    * from `_graft_layout.json` (written by writeGraph — a mismatched
+    * caller-supplied count would silently empty every constant-pred
+    * pattern, so the table must describe itself) and computes the one-pass
+    * pred stats. Missing metadata (a foreign parquet dir) degrades to
+    * predBuckets = 0: correct results, no partition pruning.
+    */
+  def loadGraph(spark: org.apache.spark.sql.SparkSession, dir: String): PersistedGraph = {
+    val meta = java.nio.file.Paths.get(dir, "_graft_layout.json")
+    val buckets =
+      if (java.nio.file.Files.exists(meta))
+        """"pred_buckets"\s*:\s*(\d+)""".r
+          .findFirstMatchIn(java.nio.file.Files.readString(meta))
+          .map(_.group(1).toInt).getOrElse(0)
+      else 0
+    val df = spark.read.parquet(dir)
+    PersistedGraph(df, buckets, predStats(df))
+  }
+
+  /** Solve a BGP against an opened persisted graph (bucket count and stats
+    * come from the table itself — the safe front door).
+    */
+  def bgp(g: PersistedGraph, patterns: Seq[(Term, Term, Term)]): DataFrame =
+    bgp(g.df, patterns, g.predBuckets, g.stats)
+
   /** Solve the basic graph pattern over (subj, pred, obj_iri, obj_lexical,
     * ...) triples; returns one column per distinct variable name, in
     * first-mention order.
@@ -66,6 +97,10 @@ object GraphQuery {
     * @param predBuckets when > 0 and the frame carries a `pred_bucket`
     *        column (the [[ExtractPipeline.writeGraph]] layout), constant-
     *        predicate patterns add the partition-pruning bucket filter.
+    *        MUST equal the count the table was written with — a mismatch
+    *        silently empties constant-pred patterns; prefer the
+    *        [[loadGraph]]/[[PersistedGraph]] front door, which reads the
+    *        count from the table's own layout metadata.
     * @param stats predicate frequencies from [[predStats]]; empty map =
     *        cost by constant count only.
     */

@@ -15,10 +15,13 @@ import TestGraph.{assertIsomorphic, resource}
   * literals, implied dd/dt end tags) and pin the extractor against
   * regressions on them.
   */
-class ExamplesGoldenSpec extends AnyFunSuite {
-
+object ExamplesGoldenSpec {
+  /** The corpus definition, shared with PrReportSpec's aggregate P/R. */
   val names = Seq("itemref", "blog_posting", "events_schema_org",
     "inventory-level", "locomotive", "goodreads")
+}
+
+class ExamplesGoldenSpec extends AnyFunSuite {
 
   def golden(name: String): Unit = {
     val html = resource(s"/examples/$name.html")

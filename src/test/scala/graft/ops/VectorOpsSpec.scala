@@ -81,6 +81,17 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(pStored == pLcg && pLcg.nonEmpty)
   }
 
+  test("stored-hyperplane LSH: ragged vector gets a NULL bucket, never false bucket 0") {
+    import spark.implicits._
+    val df = Seq(("a", Seq(1.0f, 2.0f)), ("b", Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = VectorOps.lshBuckets(df, nBits = 4, nTables = 1, storedDim = Some(3))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(rows("a").isEmpty, "wrong-dim vector must not land in a real bucket")
+    assert(rows("b").nonEmpty)
+  }
+
   test("near-dup groups pair every original with exactly its copy") {
     val groups = VectorOps.nearDupGroups(corpus, nBits = 8, nTables = 4, threshold = 0.9)
       .collect().map(r => (r.getString(0), r.getString(1)))

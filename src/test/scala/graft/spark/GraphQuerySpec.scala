@@ -106,13 +106,16 @@ class GraphQuerySpec extends AnyFunSuite {
     val triples = ExtractPipeline.extract(turns)
     val tmp = java.nio.file.Files.createTempDirectory("gq_graph_").toString
     ExtractPipeline.writeGraph(triples, tmp, predBuckets = 8)
-    val persisted = spark.read.parquet(tmp)
+    // the layout describes its own bucket count — loadGraph reads it back
+    // (a guessed-wrong count would silently empty constant-pred patterns)
+    val g = GraphQuery.loadGraph(spark, tmp)
+    assert(g.predBuckets == 8)
     val pats = Seq[(GraphQuery.Term, GraphQuery.Term, GraphQuery.Term)](
       (V("p"), C(TypeP), C("http://schema.org/Person")),
       (V("p"), C("http://schema.org/name"), V("name")),
       (V("p"), C("http://schema.org/nation"), V("nat")),
       (V("nat"), C("http://schema.org/name"), V("nat_name")))
-    val out = bgp(persisted, pats, predBuckets = 8, stats = GraphQuery.predStats(persisted))
+    val out = bgp(g, pats)
     assert(out.collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
       .toSeq == Seq(("http://x/p1", "Ann", "http://x/n1", "Norway")))
     // the constant-pred filter reaches the parquet scan, and the folded
@@ -123,6 +126,28 @@ class GraphQuerySpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("pred_bucket"),
       s"bucket pruning missing:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("QueryMain CLI: persisted graph in, parquet bindings out, equals direct bgp") {
+    val turns = Seq(
+      ("c1", 0, """<div itemscope itemtype="http://schema.org/Person" itemid="http://x/p1"><span itemprop="name">Ann Lee</span><link itemprop="nation" href="http://x/n1"/></div>"""),
+      ("c2", 0, """<div itemscope itemtype="http://schema.org/Country" itemid="http://x/n1"><span itemprop="name">Norway</span></div>"""))
+      .toDF("conv_id", "turn_idx", "text")
+    val base = java.nio.file.Files.createTempDirectory("gq_cli_").toString
+    ExtractPipeline.writeGraph(ExtractPipeline.extract(turns), s"$base/graph", predBuckets = 8)
+    val n = graft.QueryMain.run(Array(
+      "--graph", s"$base/graph", "--output", s"$base/out",
+      "--pattern", "?p <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://schema.org/Person>",
+      "--pattern", "?p <http://schema.org/name> ?name"), spark)
+    assert(n == 1L)
+    val rows = spark.read.parquet(s"$base/out")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("http://x/p1", "Ann Lee")))
+    // a literal constant (with a space) as the object term
+    val n2 = graft.QueryMain.run(Array(
+      "--graph", s"$base/graph", "--output", s"$base/out2",
+      "--pattern", "?p <http://schema.org/name> \"Ann Lee\""), spark)
+    assert(n2 == 1L)
   }
 
   test("bgp: driver-shaped 4-pattern query matches hand computation on extracted triples") {
