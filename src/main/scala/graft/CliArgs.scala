@@ -1,0 +1,33 @@
+package graft
+
+/** Shared `--key value` / `--flag` argument scaffold for the spark-submit
+  * entry points ([[ExtractMain]], [[QueryMain]]) — one implementation so
+  * error behavior and parsing rules cannot drift between them.
+  */
+private[graft] object CliArgs {
+
+  /** @param flags      keys that take no value (`--validate`)
+    * @param repeatKey   a key that may repeat; its values accumulate in the
+    *                    returned vector (`--pattern a --pattern b`)
+    * @param required    keys that must be present (checked after parsing)
+    */
+  def parse(args: Array[String], flags: Set[String] = Set.empty,
+            repeatKey: Option[String] = None,
+            required: Seq[String] = Nil): (Map[String, String], Vector[String]) = {
+    @annotation.tailrec
+    def loop(rest: List[String], acc: Map[String, String],
+             reps: Vector[String]): (Map[String, String], Vector[String]) = rest match {
+      case Nil => (acc, reps)
+      case k :: tail if k.startsWith("--") && flags.contains(k.drop(2)) =>
+        loop(tail, acc + (k.drop(2) -> "true"), reps)
+      case k :: v :: tail if k.startsWith("--") && repeatKey.contains(k.drop(2)) =>
+        loop(tail, acc, reps :+ v)
+      case k :: v :: tail if k.startsWith("--") =>
+        loop(tail, acc + (k.drop(2) -> v), reps)
+      case other :: _ => sys.error(s"unexpected argument: $other")
+    }
+    val (m, reps) = loop(args.toList, Map.empty, Vector.empty)
+    required.foreach(k => require(m.contains(k), s"--$k is required"))
+    (m, reps)
+  }
+}

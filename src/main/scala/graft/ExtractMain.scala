@@ -65,13 +65,8 @@ object ExtractMain {
             opts.getOrElse("base-prefix", null), errors))
         val expanded =
           if (opts.contains("entail")) Entailment.owlEntail(triples) else triples
-        // count rides the write as an observed metric — no cache, no re-scan
-        val obs = org.apache.spark.sql.Observation()
-        ExtractPipeline.toNTriples(expanded)
-          .observe(obs, org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("rows"))
-          .write.mode("overwrite").text(opts("output"))
-        obs.get("rows").asInstanceOf[Long]
+        ExtractPipeline.writeCounted(ExtractPipeline.toNTriples(expanded),
+          _.write.mode("overwrite").text(opts("output")))
       } else {
         // entailment is a WHOLE-GRAPH closure; the bucketed resume path
         // writes per-bucket batches, where a resumed run would compute the
@@ -99,19 +94,7 @@ object ExtractMain {
     spark.stop()
   }
 
-  private def parseArgs(args: Array[String]): Map[String, String] = {
-    val flags = Set("entail", "ntriples", "validate")
-    @annotation.tailrec
-    def loop(rest: List[String], acc: Map[String, String]): Map[String, String] = rest match {
-      case Nil => acc
-      case k :: tail if k.startsWith("--") && flags.contains(k.drop(2)) =>
-        loop(tail, acc + (k.drop(2) -> "true"))
-      case k :: v :: tail if k.startsWith("--") =>
-        loop(tail, acc + (k.drop(2) -> v))
-      case other :: _ => sys.error(s"unexpected argument: $other")
-    }
-    val m = loop(args.toList, Map.empty)
-    require(m.contains("input") && m.contains("output"), "--input and --output are required")
-    m
-  }
+  private def parseArgs(args: Array[String]): Map[String, String] =
+    CliArgs.parse(args, flags = Set("entail", "ntriples", "validate"),
+      required = Seq("input", "output"))._1
 }

@@ -40,16 +40,14 @@ object QueryMain {
     * without owning JVM exit/session lifecycle.
     */
   def run(args: Array[String], spark: SparkSession): Long = {
-    val (opts, patternStrs) = parseArgs(args)
+    val (opts, patternStrs) = CliArgs.parse(args, repeatKey = Some("pattern"),
+      required = Seq("graph", "output"))
+    require(patternStrs.nonEmpty, "at least one --pattern is required")
     val patterns = patternStrs.map(parsePattern)
     val g = GraphQuery.loadGraph(spark, opts("graph"))
     val out: DataFrame = GraphQuery.bgp(g, patterns)
-    // count rides the write as an observed metric — no cache, no re-scan
-    val obs = org.apache.spark.sql.Observation()
-    out.observe(obs, org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("rows"))
-      .write.mode("overwrite").parquet(opts("output"))
-    val rows = obs.get("rows").asInstanceOf[Long]
+    val rows = graft.spark.ExtractPipeline.writeCounted(out,
+      _.write.mode("overwrite").parquet(opts("output")))
     opts.get("show").foreach { k =>
       val bindings = spark.read.parquet(opts("output"))
       println(bindings.columns.mkString("\t"))
@@ -96,19 +94,4 @@ object QueryMain {
     out.result()
   }
 
-  /** `--pattern` repeats; everything else is key/value. */
-  private def parseArgs(args: Array[String]): (Map[String, String], Vector[String]) = {
-    @annotation.tailrec
-    def loop(rest: List[String], acc: Map[String, String],
-             pats: Vector[String]): (Map[String, String], Vector[String]) = rest match {
-      case Nil => (acc, pats)
-      case "--pattern" :: v :: tail => loop(tail, acc, pats :+ v)
-      case k :: v :: tail if k.startsWith("--") => loop(tail, acc + (k.drop(2) -> v), pats)
-      case other :: _ => sys.error(s"unexpected argument: $other")
-    }
-    val (m, pats) = loop(args.toList, Map.empty, Vector.empty)
-    require(m.contains("graph") && m.contains("output"), "--graph and --output are required")
-    require(pats.nonEmpty, "at least one --pattern is required")
-    (m, pats)
-  }
 }

@@ -35,20 +35,32 @@ object SparkEntry {
     * and partition pruning are exercised for real; the write is setup
     * (a deployment's graph already exists), cached per (dir, sf).
     */
-  private val graphCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.spark.GraphQuery.PersistedGraph]()
-  private def persistedCustomerGraph(s: SparkSession, dir: String): graft.spark.GraphQuery.PersistedGraph =
-    graphCache.computeIfAbsent(dir, _ => {
-      // deterministic per-input path (not createTempDirectory): repeated
-      // bench/verify runs OVERWRITE one graph copy instead of leaking a
-      // fresh directory per JVM
+  // one PRIVATE base dir per JVM (no cross-process race on a shared path),
+  // removed by a shutdown hook (no leak across runs); only the written
+  // PATH is cached — the frame is re-opened with the CALLING session every
+  // time, so a stopped first session can't poison later callers, and
+  // loadGraph reads stats/buckets from the layout metadata (no re-scan)
+  private lazy val graphTmpBase: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_graphs_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }))
+    p
+  }
+  private val graphPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def persistedCustomerGraph(s: SparkSession, dir: String): graft.spark.GraphQuery.PersistedGraph = {
+    val path = graphPaths.computeIfAbsent(dir, _ => {
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-      val path = java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_graph_$key").toString
-      ExtractPipeline.writeGraph(customerTriples(s, dir), path, GraphPredBuckets)
-      graft.spark.GraphQuery.loadGraph(s, path)
+      val p = graphTmpBase.resolve(s"g$key").toString
+      ExtractPipeline.writeGraph(customerTriples(s, dir), p, GraphPredBuckets)
+      p
     })
+    graft.spark.GraphQuery.loadGraph(s, path)
+  }
 
   /** Flagship: full extraction pipeline over all three transcript shapes
     * at sf=0.001; driver smoke-checks rows>0.

@@ -115,21 +115,49 @@ object ExtractPipeline {
     * predicate-sliced reads prune partitions. Physical binding goes through
     * the [[TableIO]] seam (parquet here; Iceberg in deployment).
     */
+  /** Layout/stats metadata file name inside a writeGraph directory. */
+  val LayoutFile = "_graft_layout.json"
+
+  /** Run `write` on `df` with the row count riding the write as an
+    * observed metric — no cache, no second scan. Shared by the CLI entry
+    * points' self-report (the reference CLI's statements/sec line).
+    */
+  def writeCounted(df: DataFrame, write: DataFrame => Unit): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    write(df.observe(obs, count(lit(1)).as("rows")))
+    obs.get("rows").asInstanceOf[Long]
+  }
+
   def writeGraph(triples: Dataset[Triple], outDir: String, predBuckets: Int = 16,
                  io: TableIO = TableIO.default): Unit = {
     io.write(
       triples.withColumn("pred_bucket", pmod(hash(col("pred")), lit(predBuckets))),
       outDir, Seq("pred_bucket"))
     // self-describing layout: the bucket count is a property of the TABLE,
-    // not of any query against it — persist it so readers
-    // ([[GraphQuery.loadGraph]]) never have to guess (a guessed-wrong count
-    // would silently empty every constant-pred pattern). Underscore prefix
-    // keeps the file invisible to Spark's parquet listing, like _SUCCESS.
-    // (Iceberg binding: the partition spec in the catalog plays this role.)
-    val p = java.nio.file.Paths.get(outDir)
-    if (java.nio.file.Files.isDirectory(p))
-      java.nio.file.Files.writeString(p.resolve("_graft_layout.json"),
-        s"""{"pred_buckets":$predBuckets}""" + "\n")
+    // not of any query against it, and the predicate-frequency stats are
+    // catalog statistics computed ONCE at write time (a pruned pred-column
+    // scan of the just-written table — vocabulary-bounded, dozens of rows)
+    // — so readers ([[GraphQuery.loadGraph]]) never guess the bucket count
+    // (a wrong guess silently empties constant-pred patterns) and never
+    // re-scan the table for join-ordering stats. Written through the
+    // path's own Hadoop FileSystem, NOT java.nio: outDir may be
+    // hdfs:// / s3a:// under spark-submit. Underscore prefix keeps the
+    // file invisible to Spark's parquet listing, like _SUCCESS.
+    // (Iceberg binding: partition spec + table stats play this role.)
+    val spark = triples.sparkSession
+    val stats = io.read(spark, outDir)
+      .groupBy(col("pred")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("pred_buckets", predBuckets)
+    val statsNode = root.putObject("pred_stats")
+    stats.sortBy(_._1).foreach { case (p, n) => statsNode.put(p, n) }
+    val hp = new org.apache.hadoop.fs.Path(outDir, LayoutFile)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(hp, true)
+    try out.write((mapper.writeValueAsString(root) + "\n").getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Materialize the graph as a SUBJECT-BUCKETED table: `buckets` hash

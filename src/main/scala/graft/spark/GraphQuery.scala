@@ -66,22 +66,33 @@ object GraphQuery {
                                   stats: Map[String, Long])
 
   /** Open a persisted graph directory: reads the layout's OWN bucket count
-    * from `_graft_layout.json` (written by writeGraph — a mismatched
-    * caller-supplied count would silently empty every constant-pred
-    * pattern, so the table must describe itself) and computes the one-pass
-    * pred stats. Missing metadata (a foreign parquet dir) degrades to
-    * predBuckets = 0: correct results, no partition pruning.
+    * AND write-time predicate stats from `_graft_layout.json` (written by
+    * [[ExtractPipeline.writeGraph]] — a mismatched caller-supplied count
+    * would silently empty every constant-pred pattern, so the table must
+    * describe itself, and stats from metadata mean opening a graph costs a
+    * metadata read, not a table scan). Goes through the path's own Hadoop
+    * FileSystem, so hdfs:// / s3a:// graph dirs work under spark-submit.
+    * Missing metadata (a foreign parquet dir) degrades to predBuckets = 0
+    * (correct results, no partition pruning) with stats computed by the
+    * one-pass scan.
     */
   def loadGraph(spark: org.apache.spark.sql.SparkSession, dir: String): PersistedGraph = {
-    val meta = java.nio.file.Paths.get(dir, "_graft_layout.json")
-    val buckets =
-      if (java.nio.file.Files.exists(meta))
-        """"pred_buckets"\s*:\s*(\d+)""".r
-          .findFirstMatchIn(java.nio.file.Files.readString(meta))
-          .map(_.group(1).toInt).getOrElse(0)
-      else 0
+    import scala.jdk.CollectionConverters._
     val df = spark.read.parquet(dir)
-    PersistedGraph(df, buckets, predStats(df))
+    val hp = new org.apache.hadoop.fs.Path(dir, graft.spark.ExtractPipeline.LayoutFile)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(hp)) {
+      val in = fs.open(hp)
+      val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      val buckets = Option(root.get("pred_buckets")).map(_.asInt(0)).getOrElse(0)
+      val statsNode = root.get("pred_stats")
+      val stats =
+        if (statsNode != null && statsNode.isObject)
+          statsNode.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+        else predStats(df)
+      PersistedGraph(df, buckets, stats)
+    } else PersistedGraph(df, 0, predStats(df))
   }
 
   /** Solve a BGP against an opened persisted graph (bucket count and stats
