@@ -52,28 +52,16 @@ object Bench {
     try SparkEntry.entry(spark).count()
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val samples = (0 until Samples).map { _ =>
-        timeIt {
-          try fn(spark, sfDir).count()
-          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
-        }._2
-      }
-      (name, median(samples), samples.min, samples.max)
-    }
-    // headline: synthetic-transcript extraction, ~sf-scaled turn count
-    val nTurns = if (sfDir.contains("sf0.001")) 20000L
-                 else if (sfDir.contains("sf0.01")) 100000L else 500000L
-    val (triples, extractSecs) = extractionThroughput(spark, nTurns)
-    val tps = (triples / extractSecs).toLong
-
     // stored-hyperplane vs portable-LCG LSH bucketing (same bits — spec
     // asserts identity; this line evidences the deployment path's speedup).
-    // Bucketing stage only: the downstream candidate join is identical.
+    // Bucketing stage only (the downstream candidate join is identical),
+    // measured BEFORE the query loop: after ~150 generated query plans the
+    // JVM code cache fills and fresh codegen can run deoptimized, which
+    // once inflated the LCG side ~9x vs its standalone timing.
     import org.apache.spark.sql.functions.{col, size => asize, sum => asum}
     // whole block failure-tolerant like the per-query loop: a missing or
-    // empty embeddings table must not abort the bench after every query
-    // timing was already collected (−1 marks the line unusable)
+    // empty embeddings table must not abort the bench (−1 marks the line
+    // unusable)
     val (lshLcg, lshStored) =
       try {
         val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -90,6 +78,21 @@ object Bench {
       } catch {
         case e: Throwable => System.err.println(s"[bench] lsh: $e"); (-1.0, -1.0)
       }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val samples = (0 until Samples).map { _ =>
+        timeIt {
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+        }._2
+      }
+      (name, median(samples), samples.min, samples.max)
+    }
+    // headline: synthetic-transcript extraction, ~sf-scaled turn count
+    val nTurns = if (sfDir.contains("sf0.001")) 20000L
+                 else if (sfDir.contains("sf0.01")) 100000L else 500000L
+    val (triples, extractSecs) = extractionThroughput(spark, nTurns)
+    val tps = (triples / extractSecs).toLong
 
     def dict(sel: ((String, Double, Double, Double)) => Double) =
       results.map(t => "\"" + t._1 + "\":" + f"${sel(t)}%.3f").mkString("{", ",", "}")
