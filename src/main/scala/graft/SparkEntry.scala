@@ -290,6 +290,20 @@ object SparkEntry {
         .orderBy(col("c"))
     }),
 
+    // BGP lookup by a LITERAL object constant: the pushable
+    // Or(EqualTo(obj_iri), And(IsNull(obj_iri), EqualTo(obj_lexical)))
+    // form reaches the parquet scan of the persisted graph, and the
+    // maximally selective literal pattern seeds the selectivity-greedy
+    // join (members of one named nation)
+    "kg_bgp_nation_lookup" -> ((s, dir) => {
+      import graft.spark.GraphQuery.{C, V}
+      graft.spark.GraphQuery.bgp(persistedCustomerGraph(s, dir), Seq(
+          (V("nat"), C("http://schema.org/name"), C("NATION_7")),
+          (V("c"), C("http://schema.org/nation"), V("nat")),
+          (V("c"), C("http://schema.org/name"), V("name"))))
+        .orderBy(col("c"))
+    }),
+
     // probabilistic ops on engine-portable hashes (PortableHash) — every
     // one oracle-checked bit-for-bit since round 2
     "doc_minhash_pairs" -> ((s, dir) =>
@@ -993,6 +1007,13 @@ object SparkEntry {
           |  n_name AS nat_name
           |FROM customer JOIN nation ON c_nationkey = n_nationkey
           |WHERE c_custkey % 7 <> 0 ORDER BY c""".stripMargin,
+
+      "kg_bgp_nation_lookup" ->
+        """SELECT 'http://ex.org/nation/' || CAST(c_nationkey AS VARCHAR) AS nat,
+          |  'http://ex.org/customer/' || CAST(c_custkey AS VARCHAR) AS c,
+          |  c_name AS name
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |WHERE c_custkey % 7 <> 0 AND n_name = 'NATION_7' ORDER BY c""".stripMargin,
 
       "sim_lsh_pairs" ->
         s"""WITH tb AS (SELECT vec_id, t, ${lshBucketSql("embedding", "t", 8)} AS bucket
