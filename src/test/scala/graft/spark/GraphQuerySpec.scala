@@ -128,6 +128,32 @@ class GraphQuerySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("bgp: a pattern over an absent predicate estimates 0, seeds the join, empties the result") {
+    val out = bgp(graph, Seq(
+      (V("x"), C(TypeP), C("Person")),
+      (V("x"), C("no_such_pred"), V("z"))), stats = GraphQuery.predStats(graph))
+    assert(out.count() == 0)
+  }
+
+  test("bgp metamorphic: bindings are invariant under pattern list permutation") {
+    val pats = Seq[(GraphQuery.Term, GraphQuery.Term, GraphQuery.Term)](
+      (V("x"), C(TypeP), C("Person")),
+      (V("x"), C("knows"), V("y")),
+      (V("y"), C("name"), V("n")))
+    val expected = bgp(graph, pats).collect().map(_.toSeq).toSet
+    assert(expected.nonEmpty)
+    pats.permutations.foreach { perm =>
+      val got = bgp(graph, perm).collect().map(_.toSeq).toSet
+      // variable columns surface in the PERMUTATION's first-mention order —
+      // compare as (name -> value) maps so only the bindings matter
+      val cols = bgp(graph, perm).columns
+      val expCols = bgp(graph, pats).columns
+      val gotMaps = got.map(r => cols.zip(r).toMap)
+      val expMaps = expected.map(r => expCols.zip(r).toMap)
+      assert(gotMaps == expMaps, s"order ${perm.map(_.toString).mkString(";")}")
+    }
+  }
+
   test("QueryMain CLI: persisted graph in, parquet bindings out, equals direct bgp") {
     val turns = Seq(
       ("c1", 0, """<div itemscope itemtype="http://schema.org/Person" itemid="http://x/p1"><span itemprop="name">Ann Lee</span><link itemprop="nation" href="http://x/n1"/></div>"""),
