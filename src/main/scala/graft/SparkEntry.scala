@@ -479,6 +479,15 @@ object SparkEntry {
         .select(col("vec_a"), col("vec_b"), col("cos_sim"), col("rank").cast("long").as("rank"))
         .orderBy(col("vec_a"), col("rank"))),
 
+    // trained coarse quantizer + per-cell sub-quantizer: the full
+    // deployment shape (kmeans level 1 = the only model state; level 2 a
+    // data-sized equi-joined table), still bit-for-bit oracle-replayed
+    "sim_ivf_twolevel_kmeans" -> ((s, dir) =>
+      VectorOps.ivfTwoLevelTopKTrained(table(s, dir, "embeddings"), m1 = 8,
+          iters = 2, m2 = 8, nProbe1 = 2, nProbe2 = 2, k = 5)
+        .select(col("vec_a"), col("vec_b"), col("cos_sim"), col("rank").cast("long").as("rank"))
+        .orderBy(col("vec_a"), col("rank"))),
+
     // embedding-cosine near-dup DEDUP decision over the planted corpus:
     // LSH candidates → exact verify → connected components → keep-min
     "sim_near_dup_groups" -> ((s, dir) => {
@@ -610,6 +619,34 @@ object SparkEntry {
        |          FROM qassign q JOIN cassign c ON q.cell = c.cell AND q.vec_id <> c.vec_id),
        |sc AS (SELECT vec_a, vec_b,
        |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
+       |  FROM pairs JOIN en a ON a.vec_id = vec_a JOIN en b ON b.vec_id = vec_b),
+       |r AS (SELECT vec_a, vec_b, cos, row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b) AS rank FROM sc)
+       |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos_sim, rank FROM r WHERE rank <= $k ORDER BY vec_a, rank""".stripMargin
+
+  /** Trained coarse quantizer + trainless per-cell sub-quantizer
+    * (VectorOps.ivfTwoLevelTopKTrained): kmeans CTEs for level 1, then the
+    * same two-level probe/index/rank replay as sim_ivf_twolevel.
+    */
+  private def kmeansTwoLevelOracle(m1: Int, iters: Int, m2: Int,
+                                   nProbe1: Int, nProbe2: Int, k: Int): String =
+    s"""WITH ${kmeansCtes(m1, iters)},
+       |${kmAssignCte("hc", s"c$iters", 1)},
+       |${kmAssignCte("qc", s"c$iters", nProbe1)},
+       |subc AS (SELECT h.cell AS coarse, CAST(h.vec_id AS VARCHAR) AS sub_id, e.emb AS s_emb, e.nrm AS s_nrm
+       |  FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn FROM hc) h
+       |  JOIN en e ON e.vec_id = h.vec_id WHERE h.rn <= $m2),
+       |ss_q AS (SELECT p.vec_id, p.cell AS coarse, s.sub_id,
+       |    ${safeCosSql("list_dot_product(e.emb, s.s_emb)", "e.nrm * s.s_nrm")} AS scos
+       |  FROM qc p JOIN en e ON e.vec_id = p.vec_id JOIN subc s ON s.coarse = p.cell),
+       |qcells AS (SELECT vec_id, coarse || '|' || sub_id AS cell FROM
+       |  (SELECT vec_id, coarse, sub_id, row_number() OVER (PARTITION BY vec_id, coarse ORDER BY scos DESC, sub_id) AS sr FROM ss_q) t WHERE sr <= $nProbe2),
+       |ss_c AS (SELECT p.vec_id, p.cell AS coarse, s.sub_id,
+       |    ${safeCosSql("list_dot_product(e.emb, s.s_emb)", "e.nrm * s.s_nrm")} AS scos
+       |  FROM hc p JOIN en e ON e.vec_id = p.vec_id JOIN subc s ON s.coarse = p.cell),
+       |ccells AS (SELECT vec_id, coarse || '|' || sub_id AS cell FROM
+       |  (SELECT vec_id, coarse, sub_id, row_number() OVER (PARTITION BY vec_id, coarse ORDER BY scos DESC, sub_id) AS sr FROM ss_c) t WHERE sr <= 1),
+       |pairs AS (SELECT q.vec_id AS vec_a, c.vec_id AS vec_b FROM qcells q JOIN ccells c ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+       |sc AS (SELECT vec_a, vec_b, list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
        |  FROM pairs JOIN en a ON a.vec_id = vec_a JOIN en b ON b.vec_id = vec_b),
        |r AS (SELECT vec_a, vec_b, cos, row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b) AS rank FROM sc)
        |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos_sim, rank FROM r WHERE rank <= $k ORDER BY vec_a, rank""".stripMargin
@@ -1096,6 +1133,9 @@ object SparkEntry {
           |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos_sim, rank FROM r WHERE rank <= 5 ORDER BY vec_a, rank""".stripMargin,
 
       "sim_ivf_kmeans" -> kmeansIvfOracle(m = 8, iters = 2, nProbe = 2, k = 5),
+
+      "sim_ivf_twolevel_kmeans" ->
+        kmeansTwoLevelOracle(m1 = 8, iters = 2, m2 = 8, nProbe1 = 2, nProbe2 = 2, k = 5),
 
       "sim_near_dup_groups" ->
         s"""WITH RECURSIVE corpus AS (

@@ -486,9 +486,43 @@ object VectorOps {
         cents1, dot, nP, literalMaxCentroids, keep = Seq("vec_id"))
         .withColumnRenamed("cell", "coarse")
 
+    twoLevelTail(e, coarseAssign(1), coarseAssign(nProbe1), m2, nProbe2, k)
+  }
+
+  /** Two-level IVF over a trained coarse quantizer: level 1 is the
+    * deterministic fixed-point k-means model ([[kmeansCentroids]] — the
+    * bounded broadcast/literal state), level 2 the same data-sized
+    * per-cell sub-quantizer as [[ivfTwoLevelTopK]] (each trained coarse
+    * cell's m2 smallest-id members, reached by equi-join — never
+    * collected). The whole chain stays bit-for-bit oracle-replayable
+    * (sim_ivf_twolevel_kmeans) because both levels are deterministic.
+    */
+  def ivfTwoLevelTopKTrained(embs: DataFrame, m1: Int, iters: Int, m2: Int,
+                             nProbe1: Int, nProbe2: Int, k: Int,
+                             literalMaxCentroids: Int = 128): DataFrame = {
+    val e = withNorm(embs).localCheckpoint() // one materialization, all stages
+    val cents = kmeansCentroidsNormed(e, m1, iters, literalMaxCentroids).collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def coarse(nP: Int): DataFrame =
+      kmeansAssign(e, cents, literalMaxCentroids, nP)
+        .select(col("vec_id"), col("cell").as("coarse"))
+    twoLevelTail(e, coarse(1), coarse(nProbe1), m2, nProbe2, k)
+  }
+
+  /** Shared level-2 machinery: build per-coarse-cell sub-centroids from the
+    * home assignment, assign candidates (1 sub-cell) and queries (nProbe2
+    * sub-cells per probed coarse cell) via a co-partitioned equi-join on
+    * `coarse` + the bounded TopKByScore aggregate, then rank cell-mates by
+    * exact cosine. `homeCoarse`/`queryCoarse` carry (vec_id, coarse).
+    */
+  private def twoLevelTail(e: DataFrame, homeCoarse: DataFrame,
+                           queryCoarse: DataFrame, m2: Int, nProbe2: Int,
+                           k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // home coarse cell feeds BOTH the sub-quantizer build and the candidate
     // index — materialize once
-    val home1 = coarseAssign(1).localCheckpoint()
+    val home1 = homeCoarse.localCheckpoint()
     // level-2 sub-centroids: each coarse cell's m2 smallest-id members
     // (m1·m2 rows total — data, not model; reused by both assignment calls)
     val subCents = home1.join(e, "vec_id")
@@ -514,10 +548,7 @@ object VectorOps {
         .select(col("vec_id"),
           concat(col("coarse"), lit("|"), col("p.payload")).as("cell"))
 
-    rankCellPairs(
-      subAssign(coarseAssign(nProbe1), nProbe2),
-      subAssign(home1, 1),
-      e, k)
+    rankCellPairs(subAssign(queryCoarse, nProbe2), subAssign(home1, 1), e, k)
   }
 
   /** Embedding-cosine near-duplicate DEDUP decision: LSH candidate pairs →

@@ -51,6 +51,17 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(two == one && one.nonEmpty)
   }
 
+  test("trained two-level IVF with one sub-cell per coarse cell equals trained single-level") {
+    val one = VectorOps.ivfTopKTrained(corpus, m = 8, iters = 2, nProbe = 2, k = 1)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"), col("rank"))
+      .collect().map(_.toSeq).toSet
+    val two = VectorOps.ivfTwoLevelTopKTrained(corpus, m1 = 8, iters = 2, m2 = 1,
+        nProbe1 = 2, nProbe2 = 1, k = 1)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"), col("rank"))
+      .collect().map(_.toSeq).toSet
+    assert(two == one && one.nonEmpty)
+  }
+
   test("two-level IVF: valid ranks, no duplicate pairs, no cartesian in plan") {
     val out = VectorOps.ivfTwoLevelTopK(corpus, m1 = 8, m2 = 4, nProbe1 = 4,
       nProbe2 = 2, k = 3)
