@@ -51,16 +51,19 @@ object SparkEntry {
     p
   }
   private val graphPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def persistedCustomerGraph(s: SparkSession, dir: String): graft.spark.GraphQuery.PersistedGraph = {
-    val path = graphPaths.computeIfAbsent(dir, _ => {
+  private def persistedGraph(s: SparkSession, cacheKey: String)
+                            (build: => Dataset[Triple]): graft.spark.GraphQuery.PersistedGraph = {
+    val path = graphPaths.computeIfAbsent(cacheKey, _ => {
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
       val p = graphTmpBase.resolve(s"g$key").toString
-      ExtractPipeline.writeGraph(customerTriples(s, dir), p, GraphPredBuckets)
+      ExtractPipeline.writeGraph(build, p, GraphPredBuckets)
       p
     })
     graft.spark.GraphQuery.loadGraph(s, path)
   }
+  private def persistedCustomerGraph(s: SparkSession, dir: String): graft.spark.GraphQuery.PersistedGraph =
+    persistedGraph(s, dir)(customerTriples(s, dir))
 
   /** Flagship: full extraction pipeline over all three transcript shapes
     * at sf=0.001; driver smoke-checks rows>0.
@@ -302,6 +305,29 @@ object SparkEntry {
           (V("c"), C("http://schema.org/nation"), V("nat")),
           (V("c"), C("http://schema.org/name"), V("name"))))
         .orderBy(col("c"))
+    }),
+
+    // FULL north-star chain in one gate: extract → canonicalize → entail
+    // (2-hop derived predicate) → persist (pred_bucket layout + stats
+    // metadata) → BGP over the persisted, ENTAILED graph — the query
+    // matches only the derived `title` predicate, so every stage upstream
+    // must be right for a single row to hash-match the oracle
+    "kg_bgp_entailed" -> ((s, dir) => {
+      import graft.spark.GraphQuery.{C, V}
+      import s.implicits._
+      val g = persistedGraph(s, dir + "#entailed") {
+        val edges = Seq(
+          Triple("http://schema.org/name", Entailment.SubPropertyOf,
+            "http://ex.org/label", null, null, null, "schema", -1),
+          Triple("http://ex.org/label", Entailment.EquivalentProperty,
+            "http://ex.org/title", null, null, null, "schema", -1)).toDS()
+        Entailment.owlEntail(customerTriples(s, dir).unionByName(edges))
+      }
+      graft.spark.GraphQuery.bgp(g, Seq(
+          (V("c"), C(RdfType), C("http://schema.org/Person")),
+          (V("c"), C("http://ex.org/title"), V("title")),
+          (V("c"), C("http://schema.org/nation"), V("nat"))))
+        .orderBy(col("c"), col("title"))
     }),
 
     // probabilistic ops on engine-portable hashes (PortableHash) — every
@@ -1044,6 +1070,12 @@ object SparkEntry {
           |  n_name AS nat_name
           |FROM customer JOIN nation ON c_nationkey = n_nationkey
           |WHERE c_custkey % 7 <> 0 ORDER BY c""".stripMargin,
+
+      "kg_bgp_entailed" ->
+        """SELECT 'http://ex.org/customer/' || CAST(c_custkey AS VARCHAR) AS c,
+          |  c_name AS title,
+          |  'http://ex.org/nation/' || CAST(c_nationkey AS VARCHAR) AS nat
+          |FROM customer WHERE c_custkey % 7 <> 0 ORDER BY c, title""".stripMargin,
 
       "kg_bgp_nation_lookup" ->
         """SELECT 'http://ex.org/nation/' || CAST(c_nationkey AS VARCHAR) AS nat,
