@@ -18,7 +18,7 @@ import TestGraph.{assertIsomorphic, resource}
 object ExamplesGoldenSpec {
   /** The corpus definition, shared with PrReportSpec's aggregate P/R. */
   val names = Seq("itemref", "blog_posting", "events_schema_org",
-    "inventory-level", "locomotive", "goodreads")
+    "inventory-level", "locomotive", "goodreads", "svg")
 }
 
 class ExamplesGoldenSpec extends AnyFunSuite {
@@ -49,5 +49,8 @@ class ExamplesGoldenSpec extends AnyFunSuite {
   }
   test("goodreads: verbatim whitespace-heavy literals, nested author item") {
     golden("goodreads")
+  }
+  test("svg: microdata attributes process identically in SVG markup") {
+    golden("svg")
   }
 }
