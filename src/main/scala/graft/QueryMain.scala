@@ -2,6 +2,7 @@ package graft
 
 import graft.spark.{GraftSession, GraphQuery}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** spark-submit entry point for CONSUMER-side graph querying — the
   * distributed counterpart of RDF.rb's `Queryable#query` over a loaded
@@ -15,7 +16,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     --output /path/to/bindings \
   *     --pattern '?c <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://schema.org/Person>' \
   *     --pattern '?c <http://schema.org/name> ?name' \
-  *     [--show 20]
+  *     [--show 20] [--entail]
   *
   * Pattern terms: `?name` = variable, `<uri>` = IRI constant, `"text"` =
   * literal constant. The graph's own layout metadata supplies the
@@ -40,11 +41,26 @@ object QueryMain {
     * without owning JVM exit/session lifecycle.
     */
   def run(args: Array[String], spark: SparkSession): Long = {
-    val (opts, patternStrs) = CliArgs.parse(args, repeatKey = Some("pattern"),
-      required = Seq("graph", "output"))
+    val (opts, patternStrs) = CliArgs.parse(args, flags = Set("entail"),
+      repeatKey = Some("pattern"), required = Seq("graph", "output"))
     require(patternStrs.nonEmpty, "at least one --pattern is required")
     val patterns = patternStrs.map(parsePattern)
-    val g = GraphQuery.loadGraph(spark, opts("graph"))
+    val g0 = GraphQuery.loadGraph(spark, opts("graph"))
+    // --entail: expand the loaded graph to its OWL-RL-subset closure before
+    // matching (the reference applies its Expansion module at read time;
+    // schema edges come from the graph itself). The expanded frame is
+    // in-memory, so bucket pruning no longer applies — stats are recomputed
+    // over the closure so join ordering stays honest.
+    val g =
+      if (opts.contains("entail")) {
+        import spark.implicits._
+        val expanded = graft.spark.Entailment.owlEntail(
+            g0.df.select(col("subj"), col("pred"), col("obj_iri"),
+              col("obj_lexical"), col("obj_datatype"), col("obj_lang"),
+              col("conv_id"), col("turn_idx")).as[graft.model.Triple])
+          .toDF().localCheckpoint()
+        GraphQuery.PersistedGraph(expanded, 0, GraphQuery.predStats(expanded))
+      } else g0
     val out: DataFrame = GraphQuery.bgp(g, patterns)
     val rows = graft.spark.ExtractPipeline.writeCounted(out,
       _.write.mode("overwrite").parquet(opts("output")))

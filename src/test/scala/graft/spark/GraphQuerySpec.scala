@@ -176,6 +176,30 @@ class GraphQuerySpec extends AnyFunSuite {
     assert(n2 == 1L)
   }
 
+  test("QueryMain --entail: derived predicate becomes matchable at query time") {
+    import graft.model.Triple
+    val turns = Seq(
+      ("c1", 0, """<div itemscope itemtype="http://schema.org/Person" itemid="http://x/p1"><span itemprop="name">Ann</span></div>"""))
+      .toDF("conv_id", "turn_idx", "text")
+    // the schema edge lives IN the graph (the reference's Expansion reads
+    // rules from the parsed repository the same way)
+    val edge = Seq(Triple("http://schema.org/name", graft.spark.Entailment.SubPropertyOf,
+      "http://x/label", null, null, null, "schema", -1)).toDS()
+    val base = java.nio.file.Files.createTempDirectory("gq_entail_").toString
+    ExtractPipeline.writeGraph(
+      ExtractPipeline.extract(turns).unionByName(edge), s"$base/graph", predBuckets = 8)
+    val pat = Array("--graph", s"$base/graph", "--output", s"$base/out",
+      "--pattern", "?p <http://x/label> ?v")
+    // without --entail the derived predicate does not exist
+    assert(graft.QueryMain.run(pat, spark) == 0L)
+    // with --entail the subPropertyOf closure materializes it
+    val n = graft.QueryMain.run(pat ++ Array("--entail"), spark)
+    assert(n == 1L)
+    val rows = spark.read.parquet(s"$base/out")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("http://x/p1", "Ann")))
+  }
+
   test("bgp: driver-shaped 4-pattern query matches hand computation on extracted triples") {
     val turns = Seq(
       ("c1", 0, """<div itemscope itemtype="http://schema.org/Person" itemid="http://x/p1"><span itemprop="name">Ann</span><link itemprop="nation" href="http://x/n1"/></div>"""),
