@@ -44,23 +44,34 @@ object SparkEntry {
     val p = java.nio.file.Files.createTempDirectory("graft_graphs_")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p) // close: walk holds dir handles
+        val paths = try walk.iterator().asScala.toSeq finally walk.close()
+        paths.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }))
     p
   }
-  private val graphPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // values are lazy holders so the multi-second Spark write runs OUTSIDE
+  // the map's bin lock (computeIfAbsent's contract wants short mappers;
+  // a long-running mapper stalls unrelated colliding keys and a reentrant
+  // build would throw 'Recursive update'); racing threads share one holder
+  private val graphPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, () => String]()
   private def persistedGraph(s: SparkSession, cacheKey: String)
                             (build: => Dataset[Triple]): graft.spark.GraphQuery.PersistedGraph = {
-    val path = graphPaths.computeIfAbsent(cacheKey, _ => {
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-      val p = graphTmpBase.resolve(s"g$key").toString
-      ExtractPipeline.writeGraph(build, p, GraphPredBuckets)
-      p
-    })
-    graft.spark.GraphQuery.loadGraph(s, path)
+    val holder = new (() => String) {
+      lazy val value: String = {
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        val p = graphTmpBase.resolve(s"g$key").toString
+        ExtractPipeline.writeGraph(build, p, GraphPredBuckets)
+        p
+      }
+      def apply(): String = value
+    }
+    val prev = graphPaths.putIfAbsent(cacheKey, holder)
+    graft.spark.GraphQuery.loadGraph(s, (if (prev != null) prev else holder)())
   }
   private def persistedCustomerGraph(s: SparkSession, dir: String): graft.spark.GraphQuery.PersistedGraph =
     persistedGraph(s, dir)(customerTriples(s, dir))

@@ -470,7 +470,6 @@ object VectorOps {
   def ivfTwoLevelTopK(embs: DataFrame, m1: Int, m2: Int, nProbe1: Int,
                       nProbe2: Int, k: Int,
                       literalMaxCentroids: Int = 128): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = withNorm(embs).localCheckpoint() // one materialization, all stages
     val cents1 = e.orderBy(col("vec_id")).limit(m1)
       .select(col("vec_id").cast("string").as("c_id"),

@@ -110,11 +110,6 @@ object ExtractPipeline {
         min(col("conv_id")).as("first_conv"),
         max(col("conv_id")).as("last_conv"))
 
-  /** Materialize the graph as a partitioned table: bucketed by predicate
-    * hash (pred is low-cardinality and hot — hashing spreads it) so
-    * predicate-sliced reads prune partitions. Physical binding goes through
-    * the [[TableIO]] seam (parquet here; Iceberg in deployment).
-    */
   /** Layout/stats metadata file name inside a writeGraph directory. */
   val LayoutFile = "_graft_layout.json"
 
@@ -128,6 +123,11 @@ object ExtractPipeline {
     obs.get("rows").asInstanceOf[Long]
   }
 
+  /** Materialize the graph as a partitioned table: bucketed by predicate
+    * hash (pred is low-cardinality and hot — hashing spreads it) so
+    * predicate-sliced reads prune partitions. Physical binding goes through
+    * the [[TableIO]] seam (parquet here; Iceberg in deployment).
+    */
   def writeGraph(triples: Dataset[Triple], outDir: String, predBuckets: Int = 16,
                  io: TableIO = TableIO.default): Unit = {
     io.write(
@@ -153,11 +153,16 @@ object ExtractPipeline {
     root.put("pred_buckets", predBuckets)
     val statsNode = root.putObject("pred_stats")
     stats.sortBy(_._1).foreach { case (p, n) => statsNode.put(p, n) }
+    // write-then-rename so a killed writer leaves no truncated layout file
+    // (readers also tolerate corruption — loadGraph degrades to no-pruning)
     val hp = new org.apache.hadoop.fs.Path(outDir, LayoutFile)
+    val tmp = new org.apache.hadoop.fs.Path(outDir, LayoutFile + ".tmp")
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(hp, true)
+    val out = fs.create(tmp, true)
     try out.write((mapper.writeValueAsString(root) + "\n").getBytes("UTF-8"))
     finally out.close()
+    fs.delete(hp, false)
+    fs.rename(tmp, hp)
   }
 
   /** Materialize the graph as a SUBJECT-BUCKETED table: `buckets` hash

@@ -81,18 +81,24 @@ object GraphQuery {
     val df = spark.read.parquet(dir)
     val hp = new org.apache.hadoop.fs.Path(dir, graft.spark.ExtractPipeline.LayoutFile)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(hp)) {
-      val in = fs.open(hp)
-      val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-      val buckets = Option(root.get("pred_buckets")).map(_.asInt(0)).getOrElse(0)
-      val statsNode = root.get("pred_stats")
-      val stats =
-        if (statsNode != null && statsNode.isObject)
-          statsNode.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
-        else predStats(df)
-      PersistedGraph(df, buckets, stats)
-    } else PersistedGraph(df, 0, predStats(df))
+    // corrupt/truncated metadata (e.g. a writer killed mid-write on a
+    // filesystem without the rename the writer attempts) degrades exactly
+    // like MISSING metadata — the graph must stay queryable
+    val parsed: Option[PersistedGraph] =
+      if (!fs.exists(hp)) None
+      else scala.util.Try {
+        val in = fs.open(hp)
+        val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+        val buckets = Option(root.get("pred_buckets")).map(_.asInt(0)).getOrElse(0)
+        val statsNode = root.get("pred_stats")
+        val stats =
+          if (statsNode != null && statsNode.isObject)
+            statsNode.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+          else predStats(df)
+        PersistedGraph(df, buckets, stats)
+      }.toOption
+    parsed.getOrElse(PersistedGraph(df, 0, predStats(df)))
   }
 
   /** Solve a BGP against an opened persisted graph (bucket count and stats
