@@ -19,7 +19,8 @@ object Plans {
       "doc_simhash_pairs", "doc_top_quality", "doc_token_stats", "sim_ivf_twolevel",
       "doc_substring_dups", "doc_decontam", "doc_split", "doc_pii_scrub",
       "doc_ngram_top", "doc_sample_strata", "doc_quality_filters", "doc_rarity",
-      "kg_bgp_person_nation", "kg_bgp_nation_lookup", "doc_train_set", "doc_chunks")
+      "kg_bgp_person_nation", "kg_bgp_nation_lookup", "kg_bgp_entailed",
+      "doc_train_set", "doc_chunks")
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plan evidence (explain formatted)\n\n"
     sb ++= "Regenerate with `sbt \"runMain graft.Plans\"`. Things to check per plan:\n"

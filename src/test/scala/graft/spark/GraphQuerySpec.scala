@@ -176,6 +176,22 @@ class GraphQuerySpec extends AnyFunSuite {
     assert(n2 == 1L)
   }
 
+  test("loadGraph: corrupt layout metadata degrades to no-pruning, graph stays queryable") {
+    val turns = Seq(
+      ("c1", 0, """<div itemscope itemtype="http://schema.org/Person" itemid="http://x/p1"><span itemprop="name">Ann</span></div>"""))
+      .toDF("conv_id", "turn_idx", "text")
+    val dir = java.nio.file.Files.createTempDirectory("gq_corrupt_").toString
+    ExtractPipeline.writeGraph(ExtractPipeline.extract(turns), dir, predBuckets = 8)
+    // simulate a writer killed mid-write on a filesystem without rename
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, ExtractPipeline.LayoutFile), "{\"pred_buck")
+    val g = GraphQuery.loadGraph(spark, dir)
+    assert(g.predBuckets == 0) // degraded like missing metadata
+    val out = bgp(g, Seq((V("p"), C("http://schema.org/name"), V("v"))))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("http://x/p1", "Ann")))
+  }
+
   test("QueryMain --entail: derived predicate becomes matchable at query time") {
     import graft.model.Triple
     val turns = Seq(
