@@ -20,10 +20,15 @@ private[graft] object CliArgs {
       case Nil => (acc, reps)
       case k :: tail if k.startsWith("--") && flags.contains(k.drop(2)) =>
         loop(tail, acc + (k.drop(2) -> "true"), reps)
-      case k :: v :: tail if k.startsWith("--") && repeatKey.contains(k.drop(2)) =>
+      // a following "--token" is the NEXT option, never this key's value
+      // ("--pattern --entail" must not swallow the flag), and a trailing
+      // bare key gets a "missing value" error, not "unexpected argument"
+      case k :: v :: tail if k.startsWith("--") && !v.startsWith("--") &&
+          repeatKey.contains(k.drop(2)) =>
         loop(tail, acc, reps :+ v)
-      case k :: v :: tail if k.startsWith("--") =>
+      case k :: v :: tail if k.startsWith("--") && !v.startsWith("--") =>
         loop(tail, acc + (k.drop(2) -> v), reps)
+      case k :: _ if k.startsWith("--") => sys.error(s"missing value for $k")
       case other :: _ => sys.error(s"unexpected argument: $other")
     }
     val (m, reps) = loop(args.toList, Map.empty, Vector.empty)

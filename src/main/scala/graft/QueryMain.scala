@@ -28,12 +28,16 @@ import org.apache.spark.sql.functions.col
 object QueryMain {
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.getActiveSession.getOrElse(
+    // only stop a session THIS main created — an active session belongs to
+    // whoever built it (e.g. a test harness driving main directly)
+    val active = SparkSession.getActiveSession
+    val spark = active.getOrElse(
       GraftSession.fromSubmit(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt))
     spark.sparkContext.setLogLevel("WARN")
-    val n = run(args, spark)
-    println(s"Matched $n bindings.")
-    spark.stop()
+    try {
+      val n = run(args, spark)
+      println(s"Matched $n bindings.")
+    } finally if (active.isEmpty) spark.stop()
   }
 
   /** Parse args, run the BGP, write bindings; returns the row count.
@@ -67,7 +71,9 @@ object QueryMain {
     opts.get("show").foreach { k =>
       val bindings = spark.read.parquet(opts("output"))
       println(bindings.columns.mkString("\t"))
-      bindings.limit(k.toInt).collect()
+      // deterministic display: parquet row order is whatever the writer's
+      // tasks committed, so sort by the binding columns before limiting
+      bindings.orderBy(bindings.columns.map(col): _*).limit(k.toInt).collect()
         .foreach(r => println(r.toSeq.map(String.valueOf).mkString("\t")))
     }
     rows

@@ -118,15 +118,24 @@ object PortableHash {
   /** nBits-bit bucket id for LSH table `tableId` (Column, so one exploded
     * pass computes all tables): bit b set iff proj(k = tableId·nBits+b) ≥ 0.
     */
-  def lshBucket(emb: Column, tableId: Column, nBits: Int): Column =
-    (0 until nBits).map { b =>
+  def lshBucket(emb: Column, tableId: Column, nBits: Int): Column = {
+    val bits = (0 until nBits).map { b =>
       when(lshProj(emb, tableId * nBits + b) >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
+    // a NULL embedding gets a NULL bucket (dropped by the bucket equi-join),
+    // NOT bucket 0 — each projection would null out and every bit fall to
+    // otherwise(0), false-pairing the row with all genuine bucket-0 vectors;
+    // this also keeps the LCG and stored-matrix paths in agreement on
+    // degenerate rows (the stored path nulls via its dim guard)
+    when(emb.isNotNull, bits)
+  }
 
-  def lshBucketSql(emb: String, tableId: String, nBits: Int): String =
-    (0 until nBits).map { b =>
+  def lshBucketSql(emb: String, tableId: String, nBits: Int): String = {
+    val bits = (0 until nBits).map { b =>
       s"(CASE WHEN (${lshProjSql(emb, s"($tableId)*$nBits + $b")}) >= 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+    s"(CASE WHEN ($emb) IS NULL THEN NULL ELSE $bits END)"
+  }
 
   /** Scalar twin of [[plane]] (every intermediate is non-negative here, so
     * `%` and pmod agree) — the ingredient for the stored-matrix path.

@@ -139,11 +139,14 @@ object ExtractPipeline {
     // scan of the just-written table — vocabulary-bounded, dozens of rows)
     // — so readers ([[GraphQuery.loadGraph]]) never guess the bucket count
     // (a wrong guess silently empties constant-pred patterns) and never
-    // re-scan the table for join-ordering stats. Written through the
-    // path's own Hadoop FileSystem, NOT java.nio: outDir may be
-    // hdfs:// / s3a:// under spark-submit. Underscore prefix keeps the
-    // file invisible to Spark's parquet listing, like _SUCCESS.
-    // (Iceberg binding: partition spec + table stats play this role.)
+    // re-scan the table for join-ordering stats. Persisted through the
+    // [[TableIO]] metadata seam: the parquet binding writes an atomic
+    // `_`-prefixed sidecar via the path's own Hadoop FileSystem (hdfs:// /
+    // s3a:// safe, invisible to Spark's listing like _SUCCESS, torn writes
+    // impossible and failed renames thrown); an Iceberg binding stores
+    // table properties instead of inventing a filesystem path from a
+    // catalog identifier. Readers still tolerate absent/corrupt metadata —
+    // loadGraph degrades to no-pruning.
     val spark = triples.sparkSession
     val stats = io.read(spark, outDir)
       .groupBy(col("pred")).agg(count(lit(1)).as("n")).collect()
@@ -153,16 +156,7 @@ object ExtractPipeline {
     root.put("pred_buckets", predBuckets)
     val statsNode = root.putObject("pred_stats")
     stats.sortBy(_._1).foreach { case (p, n) => statsNode.put(p, n) }
-    // write-then-rename so a killed writer leaves no truncated layout file
-    // (readers also tolerate corruption — loadGraph degrades to no-pruning)
-    val hp = new org.apache.hadoop.fs.Path(outDir, LayoutFile)
-    val tmp = new org.apache.hadoop.fs.Path(outDir, LayoutFile + ".tmp")
-    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(tmp, true)
-    try out.write((mapper.writeValueAsString(root) + "\n").getBytes("UTF-8"))
-    finally out.close()
-    fs.delete(hp, false)
-    fs.rename(tmp, hp)
+    io.writeMetadata(spark, outDir, LayoutFile, mapper.writeValueAsString(root) + "\n")
   }
 
   /** Materialize the graph as a SUBJECT-BUCKETED table: `buckets` hash

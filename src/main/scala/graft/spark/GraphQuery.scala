@@ -76,28 +76,30 @@ object GraphQuery {
     * (correct results, no partition pruning) with stats computed by the
     * one-pass scan.
     */
-  def loadGraph(spark: org.apache.spark.sql.SparkSession, dir: String): PersistedGraph = {
+  def loadGraph(spark: org.apache.spark.sql.SparkSession, dir: String,
+                io: graft.spark.TableIO = graft.spark.TableIO.default): PersistedGraph = {
     import scala.jdk.CollectionConverters._
-    val df = spark.read.parquet(dir)
-    val hp = new org.apache.hadoop.fs.Path(dir, graft.spark.ExtractPipeline.LayoutFile)
-    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val df = io.read(spark, dir)
     // corrupt/truncated metadata (e.g. a writer killed mid-write on a
     // filesystem without the rename the writer attempts) degrades exactly
-    // like MISSING metadata — the graph must stay queryable
+    // like MISSING metadata — the graph must stay queryable; the READ
+    // itself may also throw (checksum mismatch on a torn local file), so
+    // it sits inside the Try alongside the parse
     val parsed: Option[PersistedGraph] =
-      if (!fs.exists(hp)) None
-      else scala.util.Try {
-        val in = fs.open(hp)
-        val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-        val buckets = Option(root.get("pred_buckets")).map(_.asInt(0)).getOrElse(0)
-        val statsNode = root.get("pred_stats")
-        val stats =
-          if (statsNode != null && statsNode.isObject)
-            statsNode.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
-          else predStats(df)
-        PersistedGraph(df, buckets, stats)
-      }.toOption
+      scala.util.Try(
+          io.readMetadata(spark, dir, graft.spark.ExtractPipeline.LayoutFile))
+        .toOption.flatten.flatMap { json =>
+        scala.util.Try {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+          val buckets = Option(root.get("pred_buckets")).map(_.asInt(0)).getOrElse(0)
+          val statsNode = root.get("pred_stats")
+          val stats =
+            if (statsNode != null && statsNode.isObject)
+              statsNode.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+            else predStats(df)
+          PersistedGraph(df, buckets, stats)
+        }.toOption
+      }
     parsed.getOrElse(PersistedGraph(df, 0, predStats(df)))
   }
 

@@ -3,8 +3,6 @@ package graft.spark
 import graft.core.RegistryIndex
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
-import scala.jdk.CollectionConverters._
 
 /** Checkpointed, resumable graph materialization (north rule: "resumable
   * from checkpoint with per-partition lineage + metrics").
@@ -16,30 +14,30 @@ import scala.jdk.CollectionConverters._
   * crash produces byte-identical triples, so dynamic partition overwrite of
   * an incomplete bucket is safe and idempotent — resume never duplicates
   * and never loses rows.
+  *
+  * The manifest lives WITH the table (`_graft_manifest/bucket-N` marks) and
+  * is accessed through the [[TableIO]] metadata seam — the parquet binding
+  * goes through the output path's own Hadoop FileSystem, so an
+  * `--output hdfs://…` or `s3a://…` run under spark-submit tracks progress
+  * on the SAME storage as the data (a driver-local manifest would claim
+  * completion for buckets another driver never wrote). An Iceberg binding
+  * replaces the marks with snapshot metadata.
   */
 object Resume {
 
   final case class Summary(writtenBuckets: Seq[Int], skippedBuckets: Seq[Int], rowsWritten: Long)
 
-  private def manifestDir(outDir: String) = Paths.get(outDir, "_graft_manifest")
+  private val ManifestPrefix = "_graft_manifest/bucket-"
 
-  def completedBuckets(outDir: String): Set[Int] = {
-    val dir = manifestDir(outDir)
-    if (!Files.exists(dir)) Set.empty
-    else {
-      val stream = Files.list(dir)
-      try stream.iterator().asScala
-        .map(_.getFileName.toString).filter(_.startsWith("bucket-"))
-        .map(_.stripPrefix("bucket-").toInt).toSet
-      finally stream.close()
-    }
-  }
+  def completedBuckets(spark: SparkSession, outDir: String,
+                       io: TableIO = TableIO.default): Set[Int] =
+    io.listMetadata(spark, outDir, ManifestPrefix)
+      .map(_.stripPrefix("bucket-").toInt).toSet
 
-  private def commitBuckets(outDir: String, buckets: Iterable[Int]): Unit = {
-    val dir = manifestDir(outDir)
-    Files.createDirectories(dir)
-    buckets.foreach(b => Files.writeString(dir.resolve(s"bucket-$b"), "done"))
-  }
+  private def commitBuckets(spark: SparkSession, outDir: String,
+                            buckets: Iterable[Int], io: TableIO): Unit =
+    buckets.foreach(b =>
+      io.writeMetadata(spark, outDir, s"_graft_manifest/bucket-$b", "done\n"))
 
   /** Extract + write all buckets not yet committed. Call again after a crash
     * (or with new data in the same buckets — buckets are all-or-nothing).
@@ -60,7 +58,8 @@ object Resume {
                       errorCounter: org.apache.spark.util.LongAccumulator = null,
                       transform: org.apache.spark.sql.Dataset[graft.model.Triple] =>
                         org.apache.spark.sql.Dataset[graft.model.Triple] = identity): Summary = {
-    val done = completedBuckets(outDir)
+    val spark = transcripts.sparkSession
+    val done = completedBuckets(spark, outDir, io)
     val all = 0 until nBuckets
     val todo = all.filterNot(done)
     if (todo.isEmpty) return Summary(Nil, all, 0L)
@@ -81,7 +80,7 @@ object Resume {
     io.overwritePartitions(
       triples.observe(obs, count(lit(1)).as("rows")), outDir, Seq("bucket"))
     val n = obs.get("rows").asInstanceOf[Long]
-    commitBuckets(outDir, todo)
+    commitBuckets(spark, outDir, todo, io)
     Summary(todo, done.toSeq.sorted, n)
   }
 

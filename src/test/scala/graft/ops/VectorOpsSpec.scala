@@ -103,6 +103,21 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(rows("b").nonEmpty)
   }
 
+  test("NULL embedding gets a NULL bucket on BOTH paths (stored/LCG parity on degenerate rows)") {
+    import spark.implicits._
+    val df = Seq(("a", null: Seq[Float]), ("b", Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    for (storedDim <- Seq(None, Some(3))) {
+      val rows = VectorOps.lshBuckets(df, nBits = 4, nTables = 2, storedDim = storedDim)
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      val byId = rows.groupBy(_._1)
+      assert(byId("a").forall(_._2.isEmpty),
+        s"null embedding must bucket to NULL (storedDim=$storedDim), not pair with bucket 0")
+      assert(byId("b").forall(_._2.nonEmpty))
+    }
+  }
+
   test("near-dup groups pair every original with exactly its copy") {
     val groups = VectorOps.nearDupGroups(corpus, nBits = 8, nTables = 4, threshold = 0.9)
       .collect().map(r => (r.getString(0), r.getString(1)))

@@ -20,8 +20,12 @@ class ComponentsSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
-  test("Resume: crash-resume produces the complete graph exactly once") {
-    val out = Files.createTempDirectory("graftresume").toString
+  test("Resume: crash-resume produces the complete graph exactly once (file: URI Hadoop path)") {
+    // a scheme-qualified URI, NOT a bare local path: the manifest must ride
+    // the output path's own Hadoop FileSystem (hdfs://, s3a://) — a
+    // driver-local java.nio manifest would track progress on the wrong
+    // storage under spark-submit
+    val out = "file://" + Files.createTempDirectory("graftresume").toString
     val t = Transcripts.synthetic(spark, 300, 15)
     val full = ExtractPipeline.extract(t).count()
 
@@ -38,8 +42,10 @@ class ComponentsSpec extends AnyFunSuite {
 
     // simulate partial completion: drop 3 manifest entries and corrupt one
     // bucket partition → resume rewrites exactly those buckets, idempotently
-    val manifest = java.nio.file.Paths.get(out, "_graft_manifest")
-    Seq(0, 1, 2).foreach(b => Files.deleteIfExists(manifest.resolve(s"bucket-$b")))
+    val manifest = new org.apache.hadoop.fs.Path(out, "_graft_manifest")
+    val fs = manifest.getFileSystem(spark.sessionState.newHadoopConf())
+    Seq(0, 1, 2).foreach(b =>
+      fs.delete(new org.apache.hadoop.fs.Path(manifest, s"bucket-$b"), false))
     val s3 = Resume.writeWithResume(t, out, nBuckets = 16)
     assert(s3.writtenBuckets == Seq(0, 1, 2))
     assert(Resume.readGraph(spark, out).count() == full)

@@ -176,6 +176,20 @@ class GraphQuerySpec extends AnyFunSuite {
     assert(n2 == 1L)
   }
 
+  test("CliArgs: a following --token is never consumed as a value; trailing key errors clearly") {
+    val e = intercept[RuntimeException](graft.CliArgs.parse(
+      Array("--graph", "g", "--output", "o", "--pattern", "--entail"),
+      flags = Set("entail"), repeatKey = Some("pattern")))
+    assert(e.getMessage.contains("missing value for --pattern"), e.getMessage)
+    val e2 = intercept[RuntimeException](graft.CliArgs.parse(Array("--graph")))
+    assert(e2.getMessage.contains("missing value for --graph"), e2.getMessage)
+    // flags and ordinary values still parse
+    val (m, reps) = graft.CliArgs.parse(
+      Array("--entail", "--graph", "g", "--pattern", "?a <p> ?b"),
+      flags = Set("entail"), repeatKey = Some("pattern"))
+    assert(m("entail") == "true" && m("graph") == "g" && reps == Vector("?a <p> ?b"))
+  }
+
   test("loadGraph: corrupt layout metadata degrades to no-pruning, graph stays queryable") {
     val turns = Seq(
       ("c1", 0, """<div itemscope itemtype="http://schema.org/Person" itemid="http://x/p1"><span itemprop="name">Ann</span></div>"""))
