@@ -20,7 +20,7 @@ object Plans {
       "doc_substring_dups", "doc_decontam", "doc_split", "doc_pii_scrub",
       "doc_ngram_top", "doc_sample_strata", "doc_quality_filters", "doc_rarity",
       "kg_bgp_person_nation", "kg_bgp_nation_lookup", "kg_bgp_entailed",
-      "doc_train_set", "doc_chunks")
+      "kg_bgp_person_star", "doc_train_set", "doc_chunks")
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plan evidence (explain formatted)\n\n"
     sb ++= "Regenerate with `sbt \"runMain graft.Plans\"`. Things to check per plan:\n"
@@ -42,8 +42,18 @@ object Plans {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       sb ++= "\n```\n\n"
     }
+    // bucketed-star evidence: with broadcast disabled the subject-bucketed
+    // scans ALONE must satisfy the star join's distribution — the dump must
+    // show sort-merge joins with NO Exchange anywhere (the write-time
+    // bucketing consumed by the query; at 100 TB this is the difference
+    // between a shuffle of the whole graph and none)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sb ++= "## kg_bgp_person_star — broadcast DISABLED (bucketed-scan distribution evidence)\n\n```\n"
+    sb ++= SparkEntry.queries("kg_bgp_person_star")(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    sb ++= "\n```\n\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.result())
-    println(s"wrote PLANS.md (${names.size} plans)")
+    println(s"wrote PLANS.md (${names.size + 1} plans)")
     spark.stop()
   }
 }

@@ -76,6 +76,26 @@ object SparkEntry {
   private def persistedCustomerGraph(s: SparkSession, dir: String): graft.spark.GraphQuery.PersistedGraph =
     persistedGraph(s, dir)(customerTriples(s, dir))
 
+  /** The customer KG as a SUBJECT-BUCKETED catalog table (writeGraphBucketedBySubject
+    * — the entity-assembly layout): subject-star BGP joins run Exchange-free
+    * off the bucketed scans. The table lives in THIS session's catalog
+    * (in-memory catalog dies with the SparkContext), so existence is checked
+    * per call and the data path is a per-JVM temp dir; the guarded write
+    * keeps concurrent callers from racing saveAsTable.
+    */
+  private val bucketedWriteLock = new Object
+  private def bucketedCustomerGraph(s: SparkSession, dir: String): graft.spark.GraphQuery.PersistedGraph = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val tbl = s"graft_subj_$key"
+    bucketedWriteLock.synchronized {
+      if (!s.catalog.tableExists(tbl))
+        ExtractPipeline.writeGraphBucketedBySubject(customerTriples(s, dir), tbl,
+          buckets = GraphPredBuckets, path = graphTmpBase.resolve(s"b$key").toString)
+    }
+    graft.spark.GraphQuery.loadBucketedGraph(s, tbl)
+  }
+
   /** Flagship: full extraction pipeline over all three transcript shapes
     * at sf=0.001; driver smoke-checks rows>0.
     */
@@ -315,6 +335,23 @@ object SparkEntry {
           (V("nat"), C("http://schema.org/name"), C("NATION_7")),
           (V("c"), C("http://schema.org/nation"), V("nat")),
           (V("c"), C("http://schema.org/name"), V("name"))))
+        .orderBy(col("c"))
+    }),
+
+    // subject-STAR BGP over the SUBJECT-BUCKETED catalog table (the
+    // entity-assembly layout): all three patterns share ?c, each compiles
+    // to a bucketed scan reporting HashPartitioning(subj), and the alias-
+    // aware projection carries that distribution into the binding columns —
+    // so the whole query plans with ZERO Exchange (spec-asserted in
+    // GraphQuerySpec; at 100 TB the star join is shuffle-free no matter how
+    // large the graph, because the distribution was bought once at write
+    // time)
+    "kg_bgp_person_star" -> ((s, dir) => {
+      import graft.spark.GraphQuery.{C, V}
+      graft.spark.GraphQuery.bgp(bucketedCustomerGraph(s, dir), Seq(
+          (V("c"), C(RdfType), C("http://schema.org/Person")),
+          (V("c"), C("http://schema.org/name"), V("name")),
+          (V("c"), C("http://schema.org/nation"), V("nat"))))
         .orderBy(col("c"))
     }),
 
@@ -1081,6 +1118,12 @@ object SparkEntry {
           |  n_name AS nat_name
           |FROM customer JOIN nation ON c_nationkey = n_nationkey
           |WHERE c_custkey % 7 <> 0 ORDER BY c""".stripMargin,
+
+      "kg_bgp_person_star" ->
+        """SELECT 'http://ex.org/customer/' || CAST(c_custkey AS VARCHAR) AS c,
+          |  c_name AS name,
+          |  'http://ex.org/nation/' || CAST(c_nationkey AS VARCHAR) AS nat
+          |FROM customer WHERE c_custkey % 7 <> 0 ORDER BY c""".stripMargin,
 
       "kg_bgp_entailed" ->
         """SELECT 'http://ex.org/customer/' || CAST(c_custkey AS VARCHAR) AS c,

@@ -159,20 +159,53 @@ object ExtractPipeline {
     io.writeMetadata(spark, outDir, LayoutFile, mapper.writeValueAsString(root) + "\n")
   }
 
+  /** Catalog table property carrying write-time predicate stats on a
+    * subject-bucketed graph table (the counterpart of writeGraph's
+    * `_graft_layout.json`; Iceberg: table properties play exactly this
+    * role). Value: a JSON object of predicate → count.
+    */
+  val PredStatsProperty = "graft.pred_stats"
+
   /** Materialize the graph as a SUBJECT-BUCKETED table: `buckets` hash
     * buckets on `subj`, sorted within buckets. Self-joins and star-pattern
     * joins on subject (the dominant access path for entity assembly and
     * entailment) then co-locate WITHOUT a shuffle — the bucketed scan
-    * already satisfies the join's required distribution. This is the
-    * catalog-table counterpart of writeGraph's directory layout (Iceberg:
-    * `bucket(N, subj)` partition transform).
+    * already satisfies the join's required distribution, so a subject-star
+    * BGP over this table runs Exchange-free (see
+    * [[GraphQuery.loadBucketedGraph]]). This is the catalog-table
+    * counterpart of writeGraph's directory layout (Iceberg: `bucket(N,
+    * subj)` partition transform).
+    *
+    * Predicate-frequency stats are computed once at write time (pruned
+    * pred-column scan, vocabulary-bounded result) and stored as a TABLE
+    * PROPERTY — the table describes itself, readers never re-scan for
+    * join-ordering stats.
+    *
+    * @param path optional explicit data location (external table); default
+    *             is the session warehouse directory
     */
   def writeGraphBucketedBySubject(triples: Dataset[Triple], tableName: String,
-                                  buckets: Int = 16): Unit =
-    triples.write.mode("overwrite")
+                                  buckets: Int = 16, path: String = null): Unit = {
+    val w = triples.write.mode("overwrite")
       .bucketBy(buckets, "subj").sortBy("subj")
       .format("parquet")
-      .saveAsTable(tableName)
+    (if (path != null) w.option("path", path) else w).saveAsTable(tableName)
+
+    val spark = triples.sparkSession
+    val stats = spark.table(tableName)
+      .groupBy(col("pred")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    stats.sortBy(_._1).foreach { case (p, n) => root.put(p, n) }
+    // catalog API, not an ALTER TABLE SQL string: predicate IRIs are
+    // arbitrary strings and must not need SQL-literal escaping
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+    val meta = catalog.getTableMetadata(ident)
+    catalog.alterTable(meta.copy(properties =
+      meta.properties + (PredStatsProperty -> mapper.writeValueAsString(root))))
+  }
 
   /** IRIREF escaping, Column twin of graft.core.NTriples.escapeIri: the
     * characters the N-Triples grammar forbids raw inside `<...>` become

@@ -103,6 +103,40 @@ object GraphQuery {
     parsed.getOrElse(PersistedGraph(df, 0, predStats(df)))
   }
 
+  /** Open a SUBJECT-BUCKETED graph table written by
+    * [[ExtractPipeline.writeGraphBucketedBySubject]] for querying. The
+    * frame comes from `spark.table`, so every pattern compiled from it is a
+    * bucketed scan reporting `HashPartitioning(subj, nBuckets)` — and
+    * because the pattern projection only ALIASES subj into its binding
+    * column, Spark's alias-aware partitioning propagation keeps that
+    * distribution through the projection. Subject-star joins (every
+    * entity-assembly query: N patterns sharing the subject variable) then
+    * satisfy their join distribution straight off the scans: ZERO Exchange
+    * in the whole query, at any scale. Joins on non-subject bindings
+    * shuffle as usual.
+    *
+    * Predicate stats come from the table's own [[ExtractPipeline
+    * .PredStatsProperty]] catalog property (written at write time);
+    * a foreign table without it falls back to the one-pass scan.
+    * `predBuckets` is 0 — a bucketed table has no `pred_bucket` partition
+    * column; predicate selectivity is served by parquet row-group pushdown
+    * on the sorted-within-bucket layout instead.
+    */
+  def loadBucketedGraph(spark: org.apache.spark.sql.SparkSession,
+                        tableName: String): PersistedGraph = {
+    import scala.jdk.CollectionConverters._
+    val df = spark.table(tableName)
+    val stats = scala.util.Try {
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+      val props = spark.sessionState.catalog.getTableMetadata(ident).properties
+      props.get(graft.spark.ExtractPipeline.PredStatsProperty).map { json =>
+        new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+          .fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+      }
+    }.toOption.flatten
+    PersistedGraph(df, 0, stats.getOrElse(predStats(df)))
+  }
+
   /** Solve a BGP against an opened persisted graph (bucket count and stats
     * come from the table itself — the safe front door).
     */

@@ -176,6 +176,41 @@ class GraphQuerySpec extends AnyFunSuite {
     assert(n2 == 1L)
   }
 
+  test("subject-star BGP over the bucketed table: ZERO Exchange, results equal plain-frame bgp") {
+    val turns = Seq(
+      ("c1", 0, """<div itemscope itemtype="http://schema.org/Person" itemid="http://x/p1"><span itemprop="name">Ann</span><link itemprop="nation" href="http://x/n1"/></div>"""),
+      ("c2", 0, """<div itemscope itemtype="http://schema.org/Person" itemid="http://x/p2"><span itemprop="name">Bob</span><link itemprop="nation" href="http://x/n2"/></div>"""),
+      ("c3", 0, """<div itemscope itemtype="http://schema.org/Country" itemid="http://x/n1"><span itemprop="name">Norway</span></div>"""))
+      .toDF("conv_id", "turn_idx", "text")
+    val triples = ExtractPipeline.canonicalize(ExtractPipeline.extract(turns))
+    val dataPath = java.nio.file.Files.createTempDirectory("gq_bucketed_").toString
+    ExtractPipeline.writeGraphBucketedBySubject(triples, "gq_star_test",
+      buckets = 4, path = s"$dataPath/tbl")
+    val g = GraphQuery.loadBucketedGraph(spark, "gq_star_test")
+    // stats came from the catalog property, not a table re-scan
+    assert(g.stats == GraphQuery.predStats(triples.toDF()))
+    val pats = Seq(
+      (V("c"), C(TypeP), C("http://schema.org/Person")),
+      (V("c"), C("http://schema.org/name"), V("name")),
+      (V("c"), C("http://schema.org/nation"), V("nat")))
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // broadcast off: the bucketed scans ALONE must satisfy the star
+      // join's distribution — any hashpartitioning Exchange in the plan
+      // means the write-time bucketing was not consumed
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = bgp(g, pats)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"subject-star join over the bucketed table must be shuffle-free:\n$plan")
+      val got = out.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      val exp = bgp(triples.toDF(), pats)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(got == exp && got == Set(
+        ("http://x/p1", "Ann", "http://x/n1"), ("http://x/p2", "Bob", "http://x/n2")))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
   test("CliArgs: a following --token is never consumed as a value; trailing key errors clearly") {
     val e = intercept[RuntimeException](graft.CliArgs.parse(
       Array("--graph", "g", "--output", "o", "--pattern", "--entail"),
