@@ -14,7 +14,10 @@ import org.apache.spark.sql.SparkSession
   * copy of stdout gets sbt log prefixes attached — see README).
   */
 object Bench {
-  val Samples = 3
+  /** Samples per query (median reported); SPARK_GRAFT_SAMPLES overrides —
+    * the pinned-JVM re-measure protocol uses 5.
+    */
+  val Samples = sys.env.get("SPARK_GRAFT_SAMPLES").map(_.toInt).getOrElse(3)
 
   def timeIt[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
@@ -79,7 +82,12 @@ object Bench {
         case e: Throwable => System.err.println(s"[bench] lsh: $e"); (-1.0, -1.0)
       }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c restricts to named queries: the pinned-JVM
+    // protocol for chasing a single query's regression without the other
+    // ~50 plans filling the JIT code cache first (the round-4 gotcha)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(t => only.forall(_.contains(t._1))).map { case (name, fn) =>
       val samples = (0 until Samples).map { _ =>
         timeIt {
           try fn(spark, sfDir).count()
@@ -109,11 +117,15 @@ object Bench {
     // machine-readable in two redundant ways (round-1 driver parse failed
     // on sbt log prefixes): a fixed file, and a bare final stdout line
     // printed after spark.stop() so no shutdown logging trails it
-    val benchFile =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/root/repo")))
-        "/root/repo/BENCH_SELF.json"
-      else "BENCH_SELF.json"
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(benchFile), json + "\n")
+    // a SPARK_GRAFT_ONLY-filtered run is a diagnostic, not the canonical
+    // artifact — never let it clobber the full-suite BENCH_SELF.json
+    if (only.isEmpty) {
+      val benchFile =
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/root/repo")))
+          "/root/repo/BENCH_SELF.json"
+        else "BENCH_SELF.json"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(benchFile), json + "\n")
+    }
     spark.stop()
     println(json)
     System.out.flush()

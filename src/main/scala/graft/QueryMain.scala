@@ -54,7 +54,10 @@ object QueryMain {
     // matching (the reference applies its Expansion module at read time;
     // schema edges come from the graph itself). The expanded frame is
     // in-memory, so bucket pruning no longer applies — stats are recomputed
-    // over the closure so join ordering stays honest.
+    // over the closure so join ordering stays honest. Steady-state
+    // deployments should PERSIST the closure instead (ExtractMain --entail
+    // → writeGraph) and query that table: derived predicates then get full
+    // pruning + write-time stats — see README "Entailed querying at scale".
     val g =
       if (opts.contains("entail")) {
         import spark.implicits._
