@@ -12,11 +12,17 @@ import org.apache.spark.sql.functions.col
   * persisted [[graft.spark.ExtractPipeline.writeGraph]] table:
   *
   *   spark-submit --class graft.QueryMain <jar> \
-  *     --graph  /path/to/graph \
+  *     --graph  /path/to/graph      (or --table catalog_table_name) \
   *     --output /path/to/bindings \
   *     --pattern '?c <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://schema.org/Person>' \
   *     --pattern '?c <http://schema.org/name> ?name' \
   *     [--show 20] [--entail]
+  *
+  * `--graph` opens a [[graft.spark.ExtractPipeline.writeGraph]] directory
+  * (pred_bucket partition pruning from its own layout metadata); `--table`
+  * opens a [[graft.spark.ExtractPipeline.writeGraphBucketedBySubject]]
+  * catalog table instead — subject-star patterns then join shuffle-free off
+  * the bucketed scans, the right layout for entity-assembly queries.
   *
   * Pattern terms: `?name` = variable, `<uri>` = IRI constant, `"text"` =
   * literal constant. The graph's own layout metadata supplies the
@@ -46,10 +52,14 @@ object QueryMain {
     */
   def run(args: Array[String], spark: SparkSession): Long = {
     val (opts, patternStrs) = CliArgs.parse(args, flags = Set("entail"),
-      repeatKey = Some("pattern"), required = Seq("graph", "output"))
+      repeatKey = Some("pattern"), required = Seq("output"))
     require(patternStrs.nonEmpty, "at least one --pattern is required")
+    require(opts.contains("graph") ^ opts.contains("table"),
+      "exactly one of --graph <dir> or --table <name> is required")
     val patterns = patternStrs.map(parsePattern)
-    val g0 = GraphQuery.loadGraph(spark, opts("graph"))
+    val g0 =
+      if (opts.contains("graph")) GraphQuery.loadGraph(spark, opts("graph"))
+      else GraphQuery.loadBucketedGraph(spark, opts("table"))
     // --entail: expand the loaded graph to its OWL-RL-subset closure before
     // matching (the reference applies its Expansion module at read time;
     // schema edges come from the graph itself). The expanded frame is

@@ -34,7 +34,11 @@ import org.apache.spark.sql.functions._
   *    catalog-stat-sized) discounted per bound constant, the cheapest
   *    pattern seeds the join, and each step joins the cheapest CONNECTED
   *    pattern — so two big patterns never join before a selective one can
-  *    shrink the bindings. A disconnected pattern set is rejected instead
+  *    shrink the bindings. At equal estimated cost, SUBJECT-star joins win
+  *    the tie: on a subject-bucketed table they are shuffle-free and keep
+  *    the accumulated frame partitioned on the star variable, so the
+  *    cross-variable joins (which must shuffle the small binding frame
+  *    anyway) land last. A disconnected pattern set is rejected instead
   *    of silently exploding (at 100 TB a cartesian between pattern frames
   *    is the scale-killer this operator must never emit).
   *
@@ -165,15 +169,29 @@ object GraphQuery {
         "they cannot join on a shared variable — evaluate the constant " +
         "triple separately and gate the query on its result")
 
-    // (frame, vars, estimated rows, original index); index breaks cost
-    // ties deterministically
+    // (frame, vars, subject var, estimated rows, original index); index
+    // breaks cost ties deterministically
     val items = scala.collection.mutable.ArrayBuffer.tabulate(patterns.size) { i =>
       val (df, vars) = compile(triples, patterns(i), predBuckets)
-      (df, vars, estimate(patterns(i), stats), i)
+      val subjVar = patterns(i)._1 match { case V(n) => n; case _ => null }
+      (df, vars, subjVar, estimate(patterns(i), stats), i)
     }
-    def takeCheapest(ok: Seq[String] => Boolean): Option[(DataFrame, Seq[String])] = {
+    // subject variables of the patterns already joined into acc: at EQUAL
+    // estimated cost, a candidate whose SUBJECT variable is one of these is
+    // preferred — that join is subject-to-subject, which a subject-bucketed
+    // table ([[ExtractPipeline.writeGraphBucketedBySubject]]) satisfies
+    // straight off the bucketed scans with no Exchange, and which keeps the
+    // accumulated frame partitioned on the star variable so LATER star
+    // patterns stay shuffle-free too (a non-subject join in the middle
+    // would repartition acc and force the remaining star joins to shuffle
+    // back). On a non-bucketed layout the preference is harmless: order
+    // between equal-cost patterns was arbitrary (input index) anyway.
+    val accSubjVars = scala.collection.mutable.Set.empty[String]
+    def takeCheapest(ok: Seq[String] => Boolean): Option[(DataFrame, Seq[String], String)] = {
       val cands = items.zipWithIndex.collect {
-        case ((df, vs, e, i), pos) if ok(vs) => ((df, vs), (e, i), pos)
+        case ((df, vs, sv, e, i), pos) if ok(vs) =>
+          val starPenalty = if (sv != null && accSubjVars.contains(sv)) 0 else 1
+          ((df, vs, sv), (e, starPenalty, i), pos)
       }
       if (cands.isEmpty) None
       else {
@@ -183,13 +201,16 @@ object GraphQuery {
       }
     }
 
-    var acc = takeCheapest(_ => true).get
+    var first = takeCheapest(_ => true).get
+    if (first._3 != null) accSubjVars += first._3
+    var acc = (first._1, first._2)
     while (items.nonEmpty) {
       val next = takeCheapest(vs => vs.exists(acc._2.contains))
       require(next.isDefined,
         s"disconnected BGP: patterns over ${items.map(_._2).mkString(",")} share no " +
           s"variable with {${acc._2.mkString(",")}} — a cartesian product is refused")
-      val (ndf, nvs) = next.get
+      val (ndf, nvs, nsv) = next.get
+      if (nsv != null) accSubjVars += nsv
       val shared = nvs.filter(acc._2.contains)
       acc = (acc._1.join(ndf, shared), (acc._2 ++ nvs).distinct)
     }

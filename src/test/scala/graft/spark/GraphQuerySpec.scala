@@ -174,6 +174,21 @@ class GraphQuerySpec extends AnyFunSuite {
       "--graph", s"$base/graph", "--output", s"$base/out2",
       "--pattern", "?p <http://schema.org/name> \"Ann Lee\""), spark)
     assert(n2 == 1L)
+    // --table: the same query over a subject-bucketed catalog table
+    ExtractPipeline.writeGraphBucketedBySubject(
+      ExtractPipeline.canonicalize(ExtractPipeline.extract(turns)),
+      "gq_cli_tbl", buckets = 4, path = s"$base/tbl")
+    val n3 = graft.QueryMain.run(Array(
+      "--table", "gq_cli_tbl", "--output", s"$base/out3",
+      "--pattern", "?p <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://schema.org/Person>",
+      "--pattern", "?p <http://schema.org/name> ?name"), spark)
+    assert(n3 == 1L)
+    val rows3 = spark.read.parquet(s"$base/out3")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows3.toSeq == Seq(("http://x/p1", "Ann Lee")))
+    // --graph and --table are mutually exclusive and one is required
+    intercept[IllegalArgumentException](graft.QueryMain.run(Array(
+      "--output", s"$base/out4", "--pattern", "?a <p> ?b"), spark))
   }
 
   test("subject-star BGP over the bucketed table: ZERO Exchange, results equal plain-frame bgp") {
@@ -208,6 +223,40 @@ class GraphQuerySpec extends AnyFunSuite {
         .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
       assert(got == exp && got == Set(
         ("http://x/p1", "Ann", "http://x/n1"), ("http://x/p2", "Bob", "http://x/n2")))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
+  test("mixed star+cross BGP over the bucketed table: star joins stay shuffle-free, only the cross join exchanges") {
+    val turns = Seq(
+      ("c1", 0, """<div itemscope itemtype="http://schema.org/Person" itemid="http://x/p1"><span itemprop="name">Ann</span><link itemprop="nation" href="http://x/n1"/></div>"""),
+      ("c2", 0, """<div itemscope itemtype="http://schema.org/Country" itemid="http://x/n1"><span itemprop="name">Norway</span></div>"""))
+      .toDF("conv_id", "turn_idx", "text")
+    val triples = ExtractPipeline.canonicalize(ExtractPipeline.extract(turns))
+    val dataPath = java.nio.file.Files.createTempDirectory("gq_star2_").toString
+    ExtractPipeline.writeGraphBucketedBySubject(triples, "gq_star2_test",
+      buckets = 4, path = s"$dataPath/tbl")
+    val g = GraphQuery.loadBucketedGraph(spark, "gq_star2_test")
+    // the kg_bgp_person_nation shape: three patterns star on ?c, the fourth
+    // joins on ?nat (subject of pattern 4, object of pattern 3) — the star
+    // tie-break must order all ?c joins first so only the ?nat join
+    // shuffles, and only the ACC side of it (pattern 4's frame is already
+    // subject-partitioned by the bucketed scan)
+    val pats = Seq(
+      (V("c"), C(TypeP), C("http://schema.org/Person")),
+      (V("c"), C("http://schema.org/name"), V("name")),
+      (V("c"), C("http://schema.org/nation"), V("nat")),
+      (V("nat"), C("http://schema.org/name"), V("nat_name")))
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = bgp(g, pats)
+      val plan = out.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges <= 1,
+        s"expected at most the one acc-side shuffle for the ?nat join, got $exchanges:\n$plan")
+      val got = out.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+      assert(got == Set(("http://x/p1", "Ann", "http://x/n1", "Norway")))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
   }
 
