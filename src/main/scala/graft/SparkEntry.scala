@@ -304,6 +304,16 @@ object SparkEntry {
           numHashes = 32, bands = 16, threshold = 0.3)
         .orderBy(col("doc_id"))),
 
+    // data-mixture weighting: temperature-flattened (α=1/2) per-source
+    // sampling rates toward a token budget, epochs-capped — exact integer
+    // (isqrt + ppm DIV) arithmetic so the oracle hash-matches bit-for-bit;
+    // the cap value is chosen to BIND for some sources and not others at
+    // this scale, so both branches of the least() are exercised
+    "doc_source_mixture" -> ((s, dir) =>
+      TextOps.sourceMixture(table(s, dir, "documents"),
+          targetTokens = 200000L, maxRatePpm = 1300000L)
+        .orderBy(col("source"))),
+
     "kg_ntriples" -> ((s, dir) =>
       ExtractPipeline.toNTriples(customerTriples(s, dir)).orderBy(col("value"))),
 
@@ -1118,6 +1128,19 @@ object SparkEntry {
           |  n_name AS nat_name
           |FROM customer JOIN nation ON c_nationkey = n_nationkey
           |WHERE c_custkey % 7 <> 0 ORDER BY c""".stripMargin,
+
+      // DuckDB sum() yields HUGEINT (→ float64 through pandas) — every sum
+      // is CAST back to BIGINT so the schema matches Spark's longs
+      "doc_source_mixture" ->
+        """WITH s AS (SELECT source, count(*) AS n_docs,
+          |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+          |  FROM documents GROUP BY source),
+          |w AS (SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS w FROM s),
+          |p AS (SELECT *, CAST((w * 1000000) // CAST(sum(w) OVER () AS BIGINT) AS BIGINT)
+          |    AS weight_ppm FROM w)
+          |SELECT source, n_docs, tokens, weight_ppm,
+          |  CAST(least(1300000, weight_ppm * 200000 // tokens) AS BIGINT) AS sample_rate_ppm
+          |FROM p ORDER BY source""".stripMargin,
 
       "kg_bgp_person_star" ->
         """SELECT 'http://ex.org/customer/' || CAST(c_custkey AS VARCHAR) AS c,

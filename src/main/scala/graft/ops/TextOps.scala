@@ -439,6 +439,49 @@ object TextOps {
         md5(concat_ws(" ", col("col"))).as("chunk_md5"))
   }
 
+  /** Data-mixture weighting — the sampling-ratio step of multi-source
+    * corpus assembly (the `source` column is the mixture domain): per
+    * source, token mass, a TEMPERATURE-FLATTENED weight (α = 1/2, i.e.
+    * p_i^α square-root scaling as in multilingual XLM-style sampling —
+    * big sources are damped so small sources keep representation), and the
+    * per-source sampling rate that would hit `targetTokens` total, capped
+    * at `maxRatePpm` (an epochs cap: a tiny source is never oversampled
+    * into memorization).
+    *
+    * EXACT integer arithmetic end to end: isqrt for the temperature (floor
+    * ∘ IEEE sqrt is exact for token counts < 2^52), parts-per-million
+    * rational shares via integer division — bit-identical on any engine,
+    * no FP summation-order drift for the oracle to trip on. Bounds:
+    * weight_ppm ≤ 10⁶ and the rate numerator weight_ppm·targetTokens must
+    * stay under 2^63 — targetTokens ≤ ~9·10¹² (a 9-trillion-token budget)
+    * before the ppm scale must drop a digit.
+    *
+    * Scale shape: one partial-agg groupBy on the vocabulary-bounded source
+    * column (map-side combine, dozens of output rows); the share window
+    * runs over that CATALOG-SIZED table, not the corpus — the
+    * single-partition window is over ~dozens of rows by construction.
+    */
+  def sourceMixture(docs: DataFrame, targetTokens: Long,
+                    maxRatePpm: Long = 4000000L): DataFrame = {
+    require(targetTokens > 0 && maxRatePpm > 0, "positive target and cap required")
+    val perSource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("tokens"))
+      .withColumn("w", floor(sqrt(col("tokens").cast("double"))).cast("long"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    perSource
+      .withColumn("total_w", sum(col("w")).over(all))
+      // integer DIV, not `/`: long division must be exact floor division in
+      // BOTH engines (Spark `/` on longs is IEEE double division)
+      .withColumn("weight_ppm", expr("(w * 1000000L) DIV total_w"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("weight_ppm"),
+        least(lit(maxRatePpm),
+          expr(s"(weight_ppm * ${targetTokens}L) DIV tokens")).as("sample_rate_ppm"))
+  }
+
   /** Near-equal layout of the 62-bit simhash into `nBlocks` contiguous
     * blocks, as (offset, width) pairs. With nBlocks = maxHamming + 1 this is
     * the classic pigeonhole banding (two hashes within Hamming distance d

@@ -17,6 +17,31 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   private def docsOf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 
+  test("sourceMixture: sqrt temperature flattens, cap binds, shares bounded, null source total") {
+    val docs = Seq(
+      // big source: 2 docs x 8 tokens = 16; small: 1 doc x 4 = 4; null source
+      (1L, "a b c d e f g h", "big"),
+      (2L, "a b c d e f g h", "big"),
+      (3L, "a b c d", "small"),
+      (4L, "a b", null)).toDF("doc_id", "text", "source")
+    val out = TextOps.sourceMixture(docs, targetTokens = 30L, maxRatePpm = 2000000L)
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // isqrt weights: big 4, small 2, null 1 → total 7
+    assert(out(Some("big")) == ((2L, 16L, 4000000L / 7, (4000000L / 7) * 30 / 16)))
+    assert(out(Some("small"))._3 == 2000000L / 7)
+    // the small source's uncapped rate (285714*30/4 ≈ 2.14M ppm) must CAP
+    // while big's (≈1.07M) must not — both least() branches exercised
+    assert(out(Some("small"))._4 == 2000000L)
+    assert(out(Some("big"))._4 < 2000000L)
+    assert(out(None)._1 == 1L, "null source must not be dropped")
+    // temperature property: big has 4x the tokens but only 2x the weight
+    assert(out(Some("big"))._3 == 2 * out(Some("small"))._3)
+    // shares are a sub-distribution of 1e6 (floor division loses ≤ nSources-1 ppm)
+    val total = out.values.map(_._3).sum
+    assert(total <= 1000000L && total >= 1000000L - 3)
+  }
+
   test("substringDupStats: shared windows counted per doc, singles excluded") {
     // d1/d2 share the window "a b c"; d3 is disjoint; d4 too short for L=3
     val docs = docsOf(
