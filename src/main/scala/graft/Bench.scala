@@ -17,7 +17,11 @@ object Bench {
   /** Samples per query (median reported); SPARK_GRAFT_SAMPLES overrides —
     * the pinned-JVM re-measure protocol uses 5.
     */
-  val Samples = sys.env.get("SPARK_GRAFT_SAMPLES").map(_.toInt).getOrElse(3)
+  val Samples = sys.env.get("SPARK_GRAFT_SAMPLES").map { v =>
+    require(v.forall(_.isDigit) && v.nonEmpty && v.toInt > 0,
+      s"SPARK_GRAFT_SAMPLES must be a positive integer, got '$v'")
+    v.toInt
+  }.getOrElse(3)
 
   def timeIt[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
@@ -84,8 +88,17 @@ object Bench {
 
     // SPARK_GRAFT_ONLY=a,b,c restricts to named queries: the pinned-JVM
     // protocol for chasing a single query's regression without the other
-    // ~50 plans filling the JIT code cache first (the round-4 gotcha)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // ~50 plans filling the JIT code cache first (the round-4 gotcha).
+    // Unknown names fail LOUDLY — a typo silently measuring zero queries
+    // would read as "the query has no data"
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(names.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")} " +
+          s"(known: ${SparkEntry.queries.keySet.toSeq.sorted.mkString(", ")})")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(t => only.forall(_.contains(t._1))).map { case (name, fn) =>
       val samples = (0 until Samples).map { _ =>

@@ -34,16 +34,20 @@ import org.apache.spark.sql.functions.col
 object QueryMain {
 
   def main(args: Array[String]): Unit = {
-    // only stop a session THIS main created — an active session belongs to
-    // whoever built it (e.g. a test harness driving main directly)
-    val active = SparkSession.getActiveSession
-    val spark = active.getOrElse(
+    // only stop a session THIS main created. Thread-local getActiveSession
+    // alone is not enough: getOrCreate() returns the DEFAULT session even
+    // when it was built on another thread (a host app's session), and
+    // stopping that would kill the host — so a pre-existing default session
+    // also marks the session as borrowed.
+    val preexisting =
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    val spark = preexisting.getOrElse(
       GraftSession.fromSubmit(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt))
     spark.sparkContext.setLogLevel("WARN")
     try {
       val n = run(args, spark)
       println(s"Matched $n bindings.")
-    } finally if (active.isEmpty) spark.stop()
+    } finally if (preexisting.isEmpty) spark.stop()
   }
 
   /** Parse args, run the BGP, write bindings; returns the row count.

@@ -78,22 +78,30 @@ object SparkEntry {
 
   /** The customer KG as a SUBJECT-BUCKETED catalog table (writeGraphBucketedBySubject
     * — the entity-assembly layout): subject-star BGP joins run Exchange-free
-    * off the bucketed scans. The table lives in THIS session's catalog
-    * (in-memory catalog dies with the SparkContext), so existence is checked
-    * per call and the data path is a per-JVM temp dir; the guarded write
-    * keeps concurrent callers from racing saveAsTable.
+    * off the bucketed scans. The table lives in a session CATALOG (the
+    * in-memory catalog dies with the SparkContext), so the cache is keyed
+    * per (applicationId, dir) — a later SparkContext re-registers the
+    * table. Same lazy-holder pattern as [[persistedGraph]]: the
+    * multi-second write runs OUTSIDE the map's bin lock, and two dirs never
+    * serialize behind one another.
     */
-  private val bucketedWriteLock = new Object
+  private val bucketedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, () => String]()
   private def bucketedCustomerGraph(s: SparkSession, dir: String): graft.spark.GraphQuery.PersistedGraph = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val tbl = s"graft_subj_$key"
-    bucketedWriteLock.synchronized {
-      if (!s.catalog.tableExists(tbl))
+    val cacheKey = s.sparkContext.applicationId + "|" + key
+    val holder = new (() => String) {
+      lazy val value: String = {
+        val tbl = s"graft_subj_$key"
         ExtractPipeline.writeGraphBucketedBySubject(customerTriples(s, dir), tbl,
           buckets = GraphPredBuckets, path = graphTmpBase.resolve(s"b$key").toString)
+        tbl
+      }
+      def apply(): String = value
     }
-    graft.spark.GraphQuery.loadBucketedGraph(s, tbl)
+    val prev = bucketedTables.putIfAbsent(cacheKey, holder)
+    graft.spark.GraphQuery.loadBucketedGraph(s, (if (prev != null) prev else holder)())
   }
 
   /** Flagship: full extraction pipeline over all three transcript shapes
@@ -309,10 +317,12 @@ object SparkEntry {
     // (isqrt + ppm DIV) arithmetic so the oracle hash-matches bit-for-bit;
     // the cap value is chosen to BIND for some sources and not others at
     // this scale, so both branches of the least() are exercised
+    // asc_nulls_last: Spark's default ASC sorts NULLS FIRST but DuckDB's
+    // sorts NULLS LAST — a null source group would order differently
     "doc_source_mixture" -> ((s, dir) =>
       TextOps.sourceMixture(table(s, dir, "documents"),
           targetTokens = 200000L, maxRatePpm = 1300000L)
-        .orderBy(col("source"))),
+        .orderBy(asc_nulls_last("source"))),
 
     "kg_ntriples" -> ((s, dir) =>
       ExtractPipeline.toNTriples(customerTriples(s, dir)).orderBy(col("value"))),
@@ -1133,13 +1143,15 @@ object SparkEntry {
       // is CAST back to BIGINT so the schema matches Spark's longs
       "doc_source_mixture" ->
         """WITH s AS (SELECT source, count(*) AS n_docs,
-          |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+          |    CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT) AS tokens
           |  FROM documents GROUP BY source),
           |w AS (SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS w FROM s),
-          |p AS (SELECT *, CAST((w * 1000000) // CAST(sum(w) OVER () AS BIGINT) AS BIGINT)
-          |    AS weight_ppm FROM w)
+          |p AS (SELECT *, CAST((w * 1000000) // greatest(CAST(sum(w) OVER () AS BIGINT), 1)
+          |    AS BIGINT) AS weight_ppm FROM w)
           |SELECT source, n_docs, tokens, weight_ppm,
-          |  CAST(least(1300000, weight_ppm * 200000 // tokens) AS BIGINT) AS sample_rate_ppm
+          |  CASE WHEN tokens > 0
+          |    THEN CAST(least(1300000, weight_ppm * 200000 // tokens) AS BIGINT)
+          |    ELSE 0 END AS sample_rate_ppm
           |FROM p ORDER BY source""".stripMargin,
 
       "kg_bgp_person_star" ->

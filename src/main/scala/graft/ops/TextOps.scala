@@ -464,9 +464,13 @@ object TextOps {
   def sourceMixture(docs: DataFrame, targetTokens: Long,
                     maxRatePpm: Long = 4000000L): DataFrame = {
     require(targetTokens > 0 && maxRatePpm > 0, "positive target and cap required")
+    // a source whose docs all have NULL text must report ZERO mass and
+    // ZERO sampling rate — without the coalesce, NULL tokens ripple to a
+    // NULL rate which least() SKIPS (both engines), reporting the CAP (max
+    // oversampling) for a degenerate source
     val perSource = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(tokens(col("text"))).cast("long")).as("tokens"))
+        coalesce(sum(size(tokens(col("text"))).cast("long")), lit(0L)).as("tokens"))
       .withColumn("w", floor(sqrt(col("tokens").cast("double"))).cast("long"))
     val all = org.apache.spark.sql.expressions.Window
       .partitionBy()
@@ -475,11 +479,15 @@ object TextOps {
     perSource
       .withColumn("total_w", sum(col("w")).over(all))
       // integer DIV, not `/`: long division must be exact floor division in
-      // BOTH engines (Spark `/` on longs is IEEE double division)
-      .withColumn("weight_ppm", expr("(w * 1000000L) DIV total_w"))
+      // BOTH engines (Spark `/` on longs is IEEE double division); the
+      // tokens = 0 guard keeps the rate total (Spark DIV 0 is NULL but
+      // DuckDB // 0 throws — the guard makes both emit 0)
+      .withColumn("weight_ppm", expr("(w * 1000000L) DIV greatest(total_w, 1L)"))
       .select(col("source"), col("n_docs"), col("tokens"), col("weight_ppm"),
-        least(lit(maxRatePpm),
-          expr(s"(weight_ppm * ${targetTokens}L) DIV tokens")).as("sample_rate_ppm"))
+        when(col("tokens") > 0,
+            least(lit(maxRatePpm),
+              expr(s"(weight_ppm * ${targetTokens}L) DIV tokens")))
+          .otherwise(lit(0L)).as("sample_rate_ppm"))
   }
 
   /** Near-equal layout of the 62-bit simhash into `nBlocks` contiguous

@@ -40,8 +40,14 @@ object SuiteManifest {
       try new String(in.readAllBytes(), "UTF-8") finally in.close()
     }
 
+  // one parse per registry path across the whole run (SuiteSpec +
+  // PrReportSpec iterate every entry; re-parsing the full shipped registry
+  // ~30x per `sbt test` is waste)
+  private val registryCache =
+    scala.collection.concurrent.TrieMap.empty[String, RegistryIndex]
   def registryFor(e: Entry): RegistryIndex =
-    e.registry.map(r => RegistryIndex.fromJson(resolve(r)))
+    e.registry.map(r =>
+        registryCache.getOrElseUpdate(r, RegistryIndex.fromJson(resolve(r))))
       .getOrElse(TestGraph.testRegistry)
 
   /** (manifest label, entries) from the vendored manifest.jsonld. */

@@ -40,6 +40,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     // shares are a sub-distribution of 1e6 (floor division loses ≤ nSources-1 ppm)
     val total = out.values.map(_._3).sum
     assert(total <= 1000000L && total >= 1000000L - 3)
+    // a source with only NULL text reports zero mass and ZERO rate — not
+    // the cap (least() skips NULL args in both engines, so an unguarded
+    // NULL rate would surface as maximum oversampling)
+    val degenerate = Seq((1L, "a b", "ok"), (2L, null: String, "nulls"))
+      .toDF("doc_id", "text", "source")
+    val d = TextOps.sourceMixture(degenerate, targetTokens = 10L, maxRatePpm = 999L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(d("nulls") == ((0L, 0L)), s"degenerate source must not be cap-sampled: $d")
+    assert(d("ok")._2 > 0L)
   }
 
   test("substringDupStats: shared windows counted per doc, singles excluded") {

@@ -202,7 +202,14 @@ class GraphQuerySpec extends AnyFunSuite {
     ExtractPipeline.writeGraphBucketedBySubject(triples, "gq_star_test",
       buckets = 4, path = s"$dataPath/tbl")
     val g = GraphQuery.loadBucketedGraph(spark, "gq_star_test")
-    // stats came from the catalog property, not a table re-scan
+    // the catalog property is actually THERE (the fallback scan would
+    // produce the same map, so asserting map equality alone can't tell the
+    // write-time-stats path from the fallback)
+    val props = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier("gq_star_test"))
+      .properties
+    assert(props.contains(ExtractPipeline.PredStatsProperty),
+      s"pred stats table property missing; properties: ${props.keys.mkString(",")}")
     assert(g.stats == GraphQuery.predStats(triples.toDF()))
     val pats = Seq(
       (V("c"), C(TypeP), C("http://schema.org/Person")),
