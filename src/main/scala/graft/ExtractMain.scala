@@ -14,10 +14,19 @@ import org.apache.spark.sql.SparkSession
   *     --output /path/to/graph \
   *     [--registry /path/to/registry.json] \
   *     [--base-prefix conv://] [--buckets 256] [--entail] [--ntriples] \
-  *     [--validate]
+  *     [--subject-table graph_by_subj] [--validate]
   *
-  * `--entail` requires `--ntriples` (the closure is whole-graph; the
-  * bucketed resume path writes per-bucket batches and refuses the flag).
+  * `--entail` requires `--ntriples` or `--subject-table` (the closure is
+  * whole-graph; the bucketed resume path writes per-bucket batches and
+  * refuses the flag).
+  *
+  * `--subject-table <name>` materializes the graph as a SUBJECT-BUCKETED
+  * catalog table instead of the pred_bucket directory layout: `--output`
+  * becomes the external data location, `--buckets` the subject bucket
+  * count, and consumer-side subject-star BGP queries
+  * (`QueryMain --table <name>`) then join shuffle-free off the bucketed
+  * scans. This path is a single atomic saveAsTable overwrite (no
+  * per-bucket resume — the catalog swap is the commit point).
   *
   * `--input synthetic:<nTurns>[:<nConvs>]` substitutes the deterministic
   * generated corpus (Transcripts.synthetic) for the parquet read — a
@@ -35,8 +44,12 @@ object ExtractMain {
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
-    // spark-submit provides master/conf (respected); local fallback otherwise
-    val spark = SparkSession.getActiveSession.getOrElse(
+    // spark-submit provides master/conf (respected); local fallback
+    // otherwise. A pre-existing active OR default session is borrowed (a
+    // harness's session may live on another thread) and never stopped here.
+    val preexisting =
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    val spark = preexisting.getOrElse(
       GraftSession.fromSubmit(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt))
     spark.sparkContext.setLogLevel("WARN")
 
@@ -57,25 +70,38 @@ object ExtractMain {
     }
     val errors = spark.sparkContext.longAccumulator("extract_errors")
 
+    def wholeGraph(): org.apache.spark.sql.Dataset[graft.model.Triple] = {
+      val triples = ExtractPipeline.canonicalize(
+        ExtractPipeline.extract(transcripts, registry,
+          opts.getOrElse("base-prefix", null), errors))
+      if (opts.contains("entail")) Entailment.owlEntail(triples) else triples
+    }
+
     val t0 = System.nanoTime()
     val written: Long =
-      if (opts.contains("ntriples")) {
-        val triples = ExtractPipeline.canonicalize(
-          ExtractPipeline.extract(transcripts, registry,
-            opts.getOrElse("base-prefix", null), errors))
-        val expanded =
-          if (opts.contains("entail")) Entailment.owlEntail(triples) else triples
-        ExtractPipeline.writeCounted(ExtractPipeline.toNTriples(expanded),
+      if (opts.contains("ntriples"))
+        ExtractPipeline.writeCounted(ExtractPipeline.toNTriples(wholeGraph()),
           _.write.mode("overwrite").text(opts("output")))
+      else if (opts.contains("subject-table")) {
+        // subject-bucketed catalog table: one whole-graph pass (entailment
+        // composes), counted via the same observed-metric ride-along
+        val obs = org.apache.spark.sql.Observation()
+        val counted = wholeGraph().observe(obs,
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("rows"))
+        ExtractPipeline.writeGraphBucketedBySubject(counted,
+          opts("subject-table"), opts.getOrElse("buckets", "256").toInt,
+          path = opts("output"))
+        obs.get("rows").asInstanceOf[Long]
       } else {
         // entailment is a WHOLE-GRAPH closure; the bucketed resume path
         // writes per-bucket batches, where a resumed run would compute the
         // closure over only the missing buckets — silently partial. Refuse
-        // instead of ignoring the flag (it works with --ntriples, which
-        // materializes the full graph in one pass).
+        // instead of ignoring the flag (it works with --ntriples and
+        // --subject-table, which materialize the full graph in one pass).
         require(!opts.contains("entail"),
-          "--entail requires --ntriples: the bucketed resume path cannot " +
-            "apply a whole-graph closure per bucket batch")
+          "--entail requires --ntriples or --subject-table: the bucketed " +
+            "resume path cannot apply a whole-graph closure per bucket batch")
         val summary = Resume.writeWithResume(transcripts, opts("output"),
           opts.getOrElse("buckets", "256").toInt, registry,
           basePrefix = opts.getOrElse("base-prefix", null),
@@ -86,12 +112,12 @@ object ExtractMain {
 
     if (opts.contains("validate") && errors.value > 0) {
       System.err.println(s"[graft] validate: ${errors.value} extraction errors")
-      spark.stop()
+      if (preexisting.isEmpty) spark.stop()
       sys.exit(2)
     }
     // the reference CLI's self-report (script/parse:98), distributed edition
     println(f"Parsed $written statements in $secs%.2f seconds @ ${written / secs}%.0f statements/second. (errors=${errors.value})")
-    spark.stop()
+    if (preexisting.isEmpty) spark.stop()
   }
 
   private def parseArgs(args: Array[String]): Map[String, String] =

@@ -267,6 +267,26 @@ class GraphQuerySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
   }
 
+  test("ExtractMain --subject-table → QueryMain --table: the bucketed layout end-to-end via both CLIs") {
+    val turns = Seq(
+      ("c1", 0, """<div itemscope itemtype="http://schema.org/Person" itemid="http://x/p9"><span itemprop="name">Zoe</span></div>"""))
+      .toDF("conv_id", "turn_idx", "text")
+    val base = java.nio.file.Files.createTempDirectory("gq_em_cli_").toString
+    turns.write.mode("overwrite").parquet(s"$base/turns")
+    // main() borrows the active test session (never stops it)
+    graft.ExtractMain.main(Array(
+      "--input", s"$base/turns", "--output", s"$base/tbl_data",
+      "--subject-table", "em_subj_cli", "--buckets", "4"))
+    assert(!spark.sparkContext.isStopped, "borrowed session must survive main()")
+    val n = graft.QueryMain.run(Array(
+      "--table", "em_subj_cli", "--output", s"$base/out",
+      "--pattern", "?p <http://schema.org/name> ?name"), spark)
+    assert(n == 1L)
+    val rows = spark.read.parquet(s"$base/out")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("http://x/p9", "Zoe")))
+  }
+
   test("CliArgs: a following --token is never consumed as a value; trailing key errors clearly") {
     val e = intercept[RuntimeException](graft.CliArgs.parse(
       Array("--graph", "g", "--output", "o", "--pattern", "--entail"),
