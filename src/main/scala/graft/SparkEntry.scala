@@ -324,6 +324,14 @@ object SparkEntry {
           targetTokens = 200000L, maxRatePpm = 1300000L)
         .orderBy(asc_nulls_last("source"))),
 
+    // sequence packing: concat-then-chunk corpus serialization into
+    // 512-token training sequences — exact integer prefix sums over the
+    // total doc_id order, so the packing layout is a pure function of the
+    // corpus and the oracle replays it with a window cumsum
+    "doc_pack_seqs" -> ((s, dir) =>
+      TextOps.packSequences(table(s, dir, "documents"), seqTokens = 512)
+        .orderBy(col("doc_id"))),
+
     "kg_ntriples" -> ((s, dir) =>
       ExtractPipeline.toNTriples(customerTriples(s, dir)).orderBy(col("value"))),
 
@@ -1153,6 +1161,24 @@ object SparkEntry {
           |    THEN CAST(least(1300000, weight_ppm * 200000 // tokens) AS BIGINT)
           |    ELSE 0 END AS sample_rate_ppm
           |FROM p ORDER BY source""".stripMargin,
+
+      "doc_pack_seqs" ->
+        """WITH t AS (SELECT doc_id,
+          |    CAST(greatest(coalesce(len(string_split(text, ' ')), 0), 0) AS BIGINT) AS tokens
+          |  FROM documents),
+          |c AS (SELECT doc_id, tokens,
+          |    CAST(sum(tokens) OVER (ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          |  FROM t)
+          |SELECT doc_id, tokens, cum - tokens AS start_offset,
+          |  (cum - tokens) // 512 AS first_seq,
+          |  CASE WHEN tokens > 0 THEN (cum - 1) // 512
+          |    ELSE (cum - tokens) // 512 END AS last_seq,
+          |  CASE WHEN tokens > 0
+          |    THEN (CASE WHEN tokens > 0 THEN (cum - 1) // 512
+          |      ELSE (cum - tokens) // 512 END) - ((cum - tokens) // 512) + 1
+          |    ELSE 0 END AS n_seqs
+          |FROM c ORDER BY doc_id""".stripMargin,
 
       "kg_bgp_person_star" ->
         """SELECT 'http://ex.org/customer/' || CAST(c_custkey AS VARCHAR) AS c,

@@ -490,6 +490,50 @@ object TextOps {
           .otherwise(lit(0L)).as("sample_rate_ppm"))
   }
 
+  /** Sequence packing — the corpus-serialization step of pretraining-data
+    * assembly: the corpus is concatenated in stable doc_id order and cut
+    * into fixed `seqTokens`-token training sequences; each document
+    * reports its global token offset and the first/last sequence it lands
+    * in (a doc spanning a cut contributes to both sides — the standard
+    * concat-then-chunk packing, no padding waste).
+    *
+    * Deterministic and engine-portable: token offsets are an exact
+    * prefix sum over the TOTAL doc_id order, so the layout is a pure
+    * function of the corpus — re-runs, retries and the DuckDB oracle all
+    * produce the identical packing. A zero-token document (null/empty
+    * text) occupies no tokens: it reports its boundary position with
+    * `n_seqs` = 0.
+    *
+    * Scale shape: the running sum is a window over the global doc_id
+    * order — ONE range-partitioned sort (Spark samples split points, sorts
+    * partitions independently, and computes the running aggregate with a
+    * single-pass partial-offset exchange underneath `Window ORDER BY`);
+    * everything after the cumsum is a codegen'd projection. At 100 TB this
+    * is the same cost class as any global sort-by-key write — and packing
+    * inherently requires a total order, so the sort is the floor, not
+    * overhead.
+    */
+  def packSequences(docs: DataFrame, seqTokens: Int): DataFrame = {
+    require(seqTokens > 0, "seqTokens must be positive")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col("doc_id"),
+        coalesce(size(tokens(col("text"))).cast("long"), lit(0L)).as("tokens"))
+      // size(null) is -1 with legacy sizeOfNull; normalize any negative to 0
+      .withColumn("tokens", greatest(col("tokens"), lit(0L)))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("start_offset", col("cum") - col("tokens"))
+      .select(col("doc_id"), col("tokens"), col("start_offset"),
+        expr(s"start_offset DIV $seqTokens").as("first_seq"),
+        when(col("tokens") > 0, expr(s"(cum - 1) DIV $seqTokens"))
+          .otherwise(expr(s"start_offset DIV $seqTokens")).as("last_seq"))
+      .withColumn("n_seqs",
+        when(col("tokens") > 0, col("last_seq") - col("first_seq") + 1)
+          .otherwise(lit(0L)))
+  }
+
   /** Near-equal layout of the 62-bit simhash into `nBlocks` contiguous
     * blocks, as (offset, width) pairs. With nBlocks = maxHamming + 1 this is
     * the classic pigeonhole banding (two hashes within Hamming distance d

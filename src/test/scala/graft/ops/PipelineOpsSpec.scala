@@ -51,6 +51,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(d("ok")._2 > 0L)
   }
 
+  test("packSequences: concat-then-chunk offsets, boundary spans, zero-token docs") {
+    val docs = Seq(
+      (1L, "a b c"),            // tokens 3, offsets [0,3)  → seq 0
+      (2L, "d e f g"),          // tokens 4, offsets [3,7)  → spans seqs 0-1 (cut at 4)
+      (3L, null: String),       // 0 tokens at offset 7     → n_seqs 0
+      (4L, "h"))                // tokens 1, offsets [7,8)  → seq 1
+      .toDF("doc_id", "text")
+    val out = TextOps.packSequences(docs, seqTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(1L) == ((3L, 0L, 0L, 0L, 1L)))
+    assert(out(2L) == ((4L, 3L, 0L, 1L, 2L)), "doc crossing the cut belongs to both sequences")
+    assert(out(3L) == ((0L, 7L, 1L, 1L, 0L)), "zero-token doc occupies nothing")
+    assert(out(4L) == ((1L, 7L, 1L, 1L, 1L)))
+  }
+
   test("substringDupStats: shared windows counted per doc, singles excluded") {
     // d1/d2 share the window "a b c"; d3 is disjoint; d4 too short for L=3
     val docs = docsOf(
