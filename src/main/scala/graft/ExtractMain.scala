@@ -70,6 +70,9 @@ object ExtractMain {
     }
     val errors = spark.sparkContext.longAccumulator("extract_errors")
 
+    require(!(opts.contains("ntriples") && opts.contains("subject-table")),
+      "--ntriples and --subject-table are mutually exclusive output modes")
+
     def wholeGraph(): org.apache.spark.sql.Dataset[graft.model.Triple] = {
       val triples = ExtractPipeline.canonicalize(
         ExtractPipeline.extract(transcripts, registry,
@@ -82,18 +85,15 @@ object ExtractMain {
       if (opts.contains("ntriples"))
         ExtractPipeline.writeCounted(ExtractPipeline.toNTriples(wholeGraph()),
           _.write.mode("overwrite").text(opts("output")))
-      else if (opts.contains("subject-table")) {
+      else if (opts.contains("subject-table"))
         // subject-bucketed catalog table: one whole-graph pass (entailment
-        // composes), counted via the same observed-metric ride-along
-        val obs = org.apache.spark.sql.Observation()
-        val counted = wholeGraph().observe(obs,
-          org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("rows"))
-        ExtractPipeline.writeGraphBucketedBySubject(counted,
-          opts("subject-table"), opts.getOrElse("buckets", "256").toInt,
-          path = opts("output"))
-        obs.get("rows").asInstanceOf[Long]
-      } else {
+        // composes), counted via the shared observed-metric ride-along
+        ExtractPipeline.writeCounted(wholeGraph().toDF(), df =>
+          ExtractPipeline.writeGraphBucketedBySubject(
+            df.as(org.apache.spark.sql.Encoders.product[graft.model.Triple]),
+            opts("subject-table"), opts.getOrElse("buckets", "256").toInt,
+            path = opts("output")))
+      else {
         // entailment is a WHOLE-GRAPH closure; the bucketed resume path
         // writes per-bucket batches, where a resumed run would compute the
         // closure over only the missing buckets — silently partial. Refuse
@@ -112,8 +112,11 @@ object ExtractMain {
 
     if (opts.contains("validate") && errors.value > 0) {
       System.err.println(s"[graft] validate: ${errors.value} extraction errors")
-      if (preexisting.isEmpty) spark.stop()
-      sys.exit(2)
+      // own session (spark-submit): exit code 2, the CLI contract. Borrowed
+      // session (a harness drove main directly): throwing reports the
+      // failure WITHOUT killing the host JVM.
+      if (preexisting.isEmpty) { spark.stop(); sys.exit(2) }
+      else sys.error(s"validate: ${errors.value} extraction errors")
     }
     // the reference CLI's self-report (script/parse:98), distributed edition
     println(f"Parsed $written statements in $secs%.2f seconds @ ${written / secs}%.0f statements/second. (errors=${errors.value})")

@@ -464,13 +464,21 @@ object TextOps {
   def sourceMixture(docs: DataFrame, targetTokens: Long,
                     maxRatePpm: Long = 4000000L): DataFrame = {
     require(targetTokens > 0 && maxRatePpm > 0, "positive target and cap required")
+    // the documented overflow bound, ENFORCED: weight_ppm (≤ 10⁶) times
+    // targetTokens must stay under 2^63 or the non-ANSI multiply wraps
+    // silently into a garbage (possibly negative) rate
+    require(targetTokens <= Long.MaxValue / 1000000L,
+      s"targetTokens $targetTokens overflows the ppm rate arithmetic " +
+        s"(max ${Long.MaxValue / 1000000L})")
     // a source whose docs all have NULL text must report ZERO mass and
     // ZERO sampling rate — without the coalesce, NULL tokens ripple to a
     // NULL rate which least() SKIPS (both engines), reporting the CAP (max
-    // oversampling) for a degenerate source
+    // oversampling) for a degenerate source; the per-row greatest() guards
+    // legacy sizeOfNull's -1 from SUBTRACTING mass
     val perSource = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(size(tokens(col("text"))).cast("long")), lit(0L)).as("tokens"))
+        coalesce(sum(greatest(size(tokens(col("text"))).cast("long"), lit(0L))),
+          lit(0L)).as("tokens"))
       .withColumn("w", floor(sqrt(col("tokens").cast("double"))).cast("long"))
     val all = org.apache.spark.sql.expressions.Window
       .partitionBy()
@@ -504,30 +512,51 @@ object TextOps {
     * text) occupies no tokens: it reports its boundary position with
     * `n_seqs` = 0.
     *
-    * Scale shape: the running sum is a window over the global doc_id
-    * order — ONE range-partitioned sort (Spark samples split points, sorts
-    * partitions independently, and computes the running aggregate with a
-    * single-pass partial-offset exchange underneath `Window ORDER BY`);
-    * everything after the cumsum is a codegen'd projection. At 100 TB this
-    * is the same cost class as any global sort-by-key write — and packing
-    * inherently requires a total order, so the sort is the floor, not
-    * overhead.
+    * Scale shape — the two-pass distributed prefix sum, NOT a global
+    * window (a `Window.orderBy` with no partition key requires AllTuples:
+    * Spark moves the whole corpus into ONE partition — the exact scale
+    * collapse this operator must avoid):
+    *  1. range-partition + sort by doc_id (the floor cost: packing
+    *     inherently requires a total order) and pin the partitioning with
+    *     a localCheckpoint so both passes see identical partition ids;
+    *  2. per-partition token sums → a numPartitions-sized row set on the
+    *     driver (KB at any corpus size) → broadcast cumulative offsets;
+    *  3. one mapPartitions pass adds each partition's offset to its local
+    *     running sum — no second shuffle, no single-partition stage.
+    * Everything after the offsets is a codegen'd projection.
     */
   def packSequences(docs: DataFrame, seqTokens: Int): DataFrame = {
     require(seqTokens > 0, "seqTokens must be positive")
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    docs
-      .select(col("doc_id"),
-        coalesce(size(tokens(col("text"))).cast("long"), lit(0L)).as("tokens"))
-      // size(null) is -1 with legacy sizeOfNull; normalize any negative to 0
-      .withColumn("tokens", greatest(col("tokens"), lit(0L)))
-      .withColumn("cum", sum(col("tokens")).over(w))
-      .withColumn("start_offset", col("cum") - col("tokens"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sorted = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        // size(null) is -1 with legacy sizeOfNull; normalize negatives to 0
+        greatest(coalesce(size(tokens(col("text"))).cast("long"), lit(0L)), lit(0L))
+          .as("tokens"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .localCheckpoint() // pin partition ids across the two passes
+    val partSums = sorted
+      .groupBy(spark_partition_id().as("pid")) // evaluated map-side, pre-shuffle
+      .agg(sum(col("tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = sorted.rdd.getNumPartitions
+    val offsets = (0 until nParts)
+      .scanLeft(0L)((acc, pid) => acc + partSums.getOrElse(pid, 0L))
+    val bc = spark.sparkContext.broadcast(offsets.toArray)
+    sorted.as[(Long, Long)].mapPartitions { it =>
+      var cum = bc.value(org.apache.spark.TaskContext.getPartitionId())
+      it.map { case (docId, t) =>
+        val start = cum
+        cum += t
+        (docId, t, start)
+      }
+    }.toDF("doc_id", "tokens", "start_offset")
       .select(col("doc_id"), col("tokens"), col("start_offset"),
         expr(s"start_offset DIV $seqTokens").as("first_seq"),
-        when(col("tokens") > 0, expr(s"(cum - 1) DIV $seqTokens"))
+        when(col("tokens") > 0,
+            expr(s"(start_offset + tokens - 1) DIV $seqTokens"))
           .otherwise(expr(s"start_offset DIV $seqTokens")).as("last_seq"))
       .withColumn("n_seqs",
         when(col("tokens") > 0, col("last_seq") - col("first_seq") + 1)

@@ -40,11 +40,11 @@ object SuiteManifest {
       try new String(in.readAllBytes(), "UTF-8") finally in.close()
     }
 
-  // one parse per registry path across the whole run (SuiteSpec +
-  // PrReportSpec iterate every entry; re-parsing the full shipped registry
-  // ~30x per `sbt test` is waste)
-  private val registryCache =
-    scala.collection.concurrent.TrieMap.empty[String, RegistryIndex]
+  // the two fixture registries route to TestGraph's existing lazy parses
+  // (single source of truth); anything else parses once per path
+  private val registryCache = scala.collection.concurrent.TrieMap[String, RegistryIndex](
+    "golden/test-registry.json" -> TestGraph.testRegistry,
+    "golden/registry.json" -> TestGraph.fullRegistry)
   def registryFor(e: Entry): RegistryIndex =
     e.registry.map(r =>
         registryCache.getOrElseUpdate(r, RegistryIndex.fromJson(resolve(r))))

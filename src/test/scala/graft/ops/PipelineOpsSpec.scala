@@ -67,6 +67,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(4L) == ((1L, 7L, 1L, 1L, 1L)))
   }
 
+  test("packSequences invariants: contiguous offsets, exact coverage, partition-order independence") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 200L).map { i =>
+      val words = rnd.nextInt(12) // includes 0-token docs via null text
+      (i, if (words == 0) null else Seq.fill(words)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val rows = TextOps.packSequences(docs, seqTokens = 7)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // offsets are an exact contiguous tiling of [0, totalTokens)
+    rows.foldLeft(0L) { case (expected, (_, tokens, start, _, _, _)) =>
+      assert(start == expected, s"gap/overlap at offset $start, expected $expected")
+      expected + tokens
+    }
+    // seq span arithmetic consistent with offsets
+    rows.foreach { case (_, tokens, start, first, last, nSeqs) =>
+      assert(first == start / 7)
+      if (tokens > 0) {
+        assert(last == (start + tokens - 1) / 7)
+        assert(nSeqs == last - first + 1)
+      } else assert(nSeqs == 0L && last == first)
+    }
+    // the layout is a pure function of the corpus, not its partitioning
+    val repartitioned = TextOps.packSequences(docs.repartition(13), seqTokens = 7)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(repartitioned.toSeq == rows.toSeq)
+  }
+
   test("substringDupStats: shared windows counted per doc, singles excluded") {
     // d1/d2 share the window "a b c"; d3 is disjoint; d4 too short for L=3
     val docs = docsOf(
