@@ -75,6 +75,19 @@ object Bench {
           s"(known: ${SparkEntry.queries.keySet.toSeq.sorted.mkString(", ")})")
     }
 
+    // headline: synthetic-transcript extraction, ~sf-scaled turn count
+    // (skipped on a SPARK_GRAFT_ONLY diagnostic run — full-suite evidence).
+    // Measured FIRST, before the ~165 generated query plans of the suite
+    // loop fill the JVM code cache: the NORTH-STAR metric must reflect
+    // steady-state extraction, not end-of-suite deoptimization (measured
+    // 13x inflation when this ran last at 55 queries — same pathology the
+    // LSH comment below records at ~150 plans).
+    val nTurns = if (sfDir.contains("sf0.001")) 20000L
+                 else if (sfDir.contains("sf0.01")) 100000L else 500000L
+    val (triples, extractSecs) =
+      if (only.isDefined) (0L, 0.0) else extractionThroughput(spark, nTurns)
+    val tps = if (extractSecs > 0) (triples / extractSecs).toLong else 0L
+
     // stored-hyperplane vs portable-LCG LSH bucketing (same bits — spec
     // asserts identity; this line evidences the deployment path's speedup).
     // Bucketing stage only (the downstream candidate join is identical),
@@ -112,14 +125,6 @@ object Bench {
       }
       (name, median(samples), samples.min, samples.max)
     }
-    // headline: synthetic-transcript extraction, ~sf-scaled turn count
-    // (skipped on a SPARK_GRAFT_ONLY diagnostic run — full-suite evidence)
-    val nTurns = if (sfDir.contains("sf0.001")) 20000L
-                 else if (sfDir.contains("sf0.01")) 100000L else 500000L
-    val (triples, extractSecs) =
-      if (only.isDefined) (0L, 0.0) else extractionThroughput(spark, nTurns)
-    val tps = if (extractSecs > 0) (triples / extractSecs).toLong else 0L
-
     def dict(sel: ((String, Double, Double, Double)) => Double) =
       results.map(t => "\"" + t._1 + "\":" + f"${sel(t)}%.3f").mkString("{", ",", "}")
     val qs = dict(_._2)

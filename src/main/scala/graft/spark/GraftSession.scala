@@ -17,6 +17,12 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // static conf: the generated-class cache defaults to 100 entries —
+      // a ~55-query suite (3+ codegen stages each) thrashes that LRU, so
+      // every repeated run re-compiles its classes and the JVM code cache
+      // fills with dead generated code until JIT deoptimizes (measured 13x
+      // on the extraction stage when it ran after the full bench loop)
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.ui.enabled", "false")
 
   def local(cpus: Int): SparkSession = {
