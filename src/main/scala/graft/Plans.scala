@@ -21,7 +21,7 @@ object Plans {
       "doc_ngram_top", "doc_sample_strata", "doc_quality_filters", "doc_rarity",
       "kg_bgp_person_nation", "kg_bgp_nation_lookup", "kg_bgp_entailed",
       "kg_bgp_person_star", "doc_train_set", "doc_chunks", "doc_source_mixture",
-      "doc_pack_seqs")
+      "doc_pack_seqs", "doc_repetition", "doc_bpe_pairs")
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plan evidence (explain formatted)\n\n"
     sb ++= "Regenerate with `sbt \"runMain graft.Plans\"`. Things to check per plan:\n"

@@ -466,6 +466,17 @@ object SparkEntry {
     "doc_ngram_top" -> ((s, dir) =>
       TextOps.ngramTopK(table(s, dir, "documents"), n = 2, k = 100)),
 
+    // Gopher-style repetition filters: top-2-gram character coverage +
+    // duplicate-5-gram window fraction, with keep thresholds
+    "doc_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(table(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // one BPE merge round's pair counts (tokenizer induction): corpus
+    // top-100 adjacent character pairs inside whitespace tokens
+    "doc_bpe_pairs" -> ((s, dir) =>
+      TextOps.bpePairCounts(table(s, dir, "documents"), k = 100)),
+
     // deterministic stratified sampling: per-stratum hash-gated keep rates
     "doc_sample_strata" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
@@ -1041,6 +1052,35 @@ object SparkEntry {
           |g AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
           |      FROM toks WHERE len(t) >= 2)
           |SELECT gram, COUNT(*) AS n_occ FROM g GROUP BY 1 ORDER BY n_occ DESC, gram LIMIT 100""".stripMargin,
+
+      // argmax tiebreak mirrors Spark's max(struct(c, gram)): count desc,
+      // then gram DESC (lexicographic struct max)
+      "doc_repetition" ->
+        """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts, length(text) AS chars FROM documents),
+          |w AS (SELECT doc_id, chars, CAST(len(ts) AS BIGINT) AS n_tokens,
+          |        CASE WHEN len(ts) >= 5 THEN list_transform(range(1, len(ts) - 3), i -> array_to_string(ts[i:i+4], ' ')) ELSE CAST([] AS VARCHAR[]) END AS w5,
+          |        CASE WHEN len(ts) >= 2 THEN list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) ELSE CAST([] AS VARCHAR[]) END AS g2
+          |      FROM d),
+          |b AS (SELECT doc_id, chars, n_tokens, CAST(len(w5) AS BIGINT) AS n_windows,
+          |        CAST(len(w5) - len(list_distinct(w5)) AS BIGINT) AS dup_windows, g2 FROM w),
+          |gx AS (SELECT doc_id, unnest(g2) AS gram FROM b),
+          |gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM gx GROUP BY 1, 2),
+          |tp AS (SELECT doc_id, gram AS top_gram, c AS top_gram_n
+          |       FROM (SELECT doc_id, gram, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram DESC) AS rn FROM gc)
+          |       WHERE rn = 1)
+          |SELECT b.doc_id, b.n_tokens, b.n_windows, b.dup_windows,
+          |  ROUND(CAST(b.dup_windows AS DOUBLE) / GREATEST(b.n_windows, 1), 4) AS dup_window_frac,
+          |  tp.top_gram, COALESCE(tp.top_gram_n, 0) AS top_gram_n,
+          |  ROUND(CAST(COALESCE(tp.top_gram_n * length(tp.top_gram), 0) AS DOUBLE) / GREATEST(b.chars, 1), 4) AS top_char_frac,
+          |  (ROUND(CAST(COALESCE(tp.top_gram_n * length(tp.top_gram), 0) AS DOUBLE) / GREATEST(b.chars, 1), 4) <= 0.2
+          |   AND ROUND(CAST(b.dup_windows AS DOUBLE) / GREATEST(b.n_windows, 1), 4) <= 0.3) AS keep
+          |FROM b LEFT JOIN tp USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+
+      "doc_bpe_pairs" ->
+        """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+          |p AS (SELECT unnest(list_transform(range(1, length(tok)), i -> substr(tok, CAST(i AS INTEGER), 2))) AS pair
+          |      FROM toks WHERE length(tok) >= 2)
+          |SELECT pair, COUNT(*) AS n_occ FROM p GROUP BY 1 ORDER BY n_occ DESC, pair LIMIT 100""".stripMargin,
 
       // COALESCEs mirror stratifiedSample's null handling: a null stratum
       // hashes as '' (default rate) instead of poisoning the concat

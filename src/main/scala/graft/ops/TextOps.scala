@@ -86,18 +86,20 @@ object TextOps {
     docs.groupBy(md5(col("text")).as("text_md5"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
 
-  /** Distinct word k-shingles per document. Documents shorter than k tokens
-    * yield no shingles (Spark's sequence(a, b) DESCENDS when b < a, so the
-    * short case must be guarded explicitly).
+  /** In-order word n-gram occurrence windows over a token array. Documents
+    * shorter than n tokens yield no windows (Spark's sequence(a, b) DESCENDS
+    * when b < a, so the short case must be guarded explicitly).
     */
-  def shingles(docs: DataFrame, k: Int): DataFrame = {
-    val t = tokens(col("text"))
-    val sh = when(size(t) >= k,
-        transform(sequence(lit(0), size(t) - k),
-          i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+  private def gramWindows(t: Column, n: Int): Column =
+    when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
-    docs.select(col("doc_id"), explode(array_distinct(sh)).as("shingle"))
-  }
+
+  /** Distinct word k-shingles per document. */
+  def shingles(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(gramWindows(tokens(col("text")), k))).as("shingle"))
 
   /** Exact n-gram Jaccard near-duplicate pairs ≥ threshold: explode
     * distinct shingles, self-join on shingle (shuffle co-partitioned on the
@@ -318,12 +320,7 @@ object TextOps {
     * TakeOrderedAndProject, so only k rows ever leave each partition.
     */
   def ngramTopK(docs: DataFrame, n: Int, k: Int): DataFrame = {
-    val t = tokens(col("text"))
-    val grams = when(size(t) >= n,
-        transform(sequence(lit(0), size(t) - n),
-          i => concat_ws(" ", slice(t, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-    docs.select(explode(grams).as("gram"))
+    docs.select(explode(gramWindows(tokens(col("text")), n)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("n_occ"))
       .orderBy(col("n_occ").desc, col("gram").asc)
       .limit(k)
@@ -562,6 +559,69 @@ object TextOps {
         when(col("tokens") > 0, col("last_seq") - col("first_seq") + 1)
           .otherwise(lit(0L)))
   }
+
+  /** Gopher-style within-document repetition filters (Rae et al. 2021
+    * §A1.1, recast from line/paragraph structure to token streams — this
+    * corpus has no newlines): the top nTop-gram's character-coverage
+    * fraction (count × gram chars / doc chars — boilerplate repeats short
+    * phrases) and the duplicate nDup-gram window fraction (1 −
+    * distinct/total windows — loopy generated text repeats long spans).
+    * `keep` is the conjunction of both thresholds.
+    *
+    * Scale shape: the dup-window fraction is a pure codegen'd projection
+    * (array_distinct hashes per doc — linear, no shuffle). The top n-gram
+    * needs per-(doc, gram) counts: one partial-agg groupBy(doc_id, gram),
+    * then a partial-agg groupBy(doc_id) taking the lexicographic max of
+    * (count, gram) structs — both shuffles carry count rows, never
+    * document text, and the deterministic (count desc, gram desc) tiebreak
+    * is what lets an oracle replay the argmax exactly. Docs shorter than
+    * nTop tokens have no top gram (null, count 0, coverage 0).
+    */
+  def repetitionStats(docs: DataFrame, nTop: Int = 2, nDup: Int = 5,
+                      topCharFracMax: Double = 0.20,
+                      dupWindowFracMax: Double = 0.30): DataFrame = {
+    val t = tokens(col("text"))
+    val w = gramWindows(t, nDup)
+    val base = docs.select(col("doc_id"), length(col("text")).as("chars"),
+      size(t).cast("long").as("n_tokens"),
+      size(w).cast("long").as("n_windows"),
+      (size(w) - size(array_distinct(w))).cast("long").as("dup_windows"))
+    val top = docs.select(col("doc_id"), explode(gramWindows(t, nTop)).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(struct(col("c"), col("gram"))).as("top"))
+      .select(col("doc_id"), col("top.gram").as("top_gram"),
+        col("top.c").as("top_gram_n"))
+    base.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"), col("dup_windows"),
+        round(col("dup_windows").cast("double") /
+          greatest(col("n_windows"), lit(1L)), 4).as("dup_window_frac"),
+        col("top_gram"),
+        coalesce(col("top_gram_n"), lit(0L)).as("top_gram_n"),
+        round(coalesce(col("top_gram_n") * length(col("top_gram")), lit(0L))
+          .cast("double") / greatest(col("chars"), lit(1)), 4).as("top_char_frac"))
+      .withColumn("keep",
+        col("top_char_frac") <= topCharFracMax &&
+          col("dup_window_frac") <= dupWindowFracMax)
+  }
+
+  /** Adjacent-symbol-pair frequencies within whitespace tokens — the
+    * counting step of one BPE merge round (tokenizer induction): the
+    * corpus-wide top-k character pairs are the merge candidates.
+    *
+    * Scale shape: same as [[ngramTopK]] — pairs explode map-side into a
+    * partial-agg groupBy whose key space is alphabet²-bounded (tiny — the
+    * shuffle carries a few thousand count rows per partition), and
+    * TakeOrderedAndProject moves only k rows to the driver. Deterministic
+    * order: count desc, pair asc.
+    */
+  def bpePairCounts(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("tok")) - 1),
+        i => col("tok").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("pair").asc)
+      .limit(k)
 
   /** Near-equal layout of the 62-bit simhash into `nBlocks` contiguous
     * blocks, as (offset, width) pairs. With nBlocks = maxHamming + 1 this is

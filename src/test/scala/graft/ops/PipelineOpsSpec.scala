@@ -322,4 +322,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.head == (("a b", 3L)))
     assert(out.toSeq == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
   }
+
+  test("repetitionStats: top-gram coverage, dup-window fraction, short-doc nulls") {
+    val docs = docsOf(
+      1L -> "a b a b a b",           // "a b" x3; both 5-windows distinct
+      2L -> "x y z w v u q r s t",   // all 2-grams tie at 1 → max gram "z w"
+      3L -> "a a a a a a a a a a",   // "a a" x9; all six 5-windows identical
+      4L -> "q")                     // no 2-grams, no 5-windows
+    val out = TextOps.repetitionStats(docs).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+        Option(r.getString(5)), r.getLong(6), r.getDouble(7), r.getBoolean(8)))).toMap
+    // doc 1: chars 11, top "a b" x3 → 9/11; 2 distinct 5-windows
+    assert(out(1L) == ((6L, 2L, 0L, 0.0, Some("a b"), 3L, 0.8182, false)))
+    // doc 2: tie at count 1 breaks to the LEXICOGRAPHIC MAX gram (the
+    // deterministic argmax the oracle replays); 3/19 chars covered
+    assert(out(2L) == ((10L, 6L, 0L, 0.0, Some("z w"), 1L, 0.1579, true)))
+    // doc 3: 6 windows, 1 distinct → dup 5/6; coverage 27/19 exceeds 1
+    // (overlapping occurrences — documented semantics)
+    assert(out(3L) == ((10L, 6L, 5L, 0.8333, Some("a a"), 9L, 1.4211, false)))
+    // doc 4: no grams at all → null top gram, zero fractions, kept
+    assert(out(4L) == ((1L, 0L, 0L, 0.0, None, 0L, 0.0, true)))
+  }
+
+  test("bpePairCounts: within-token pairs, deterministic ties, degenerate tokens") {
+    val docs = Seq((1L, "hello hello hi a"), (2L, null: String))
+      .toDF("doc_id", "text")
+    val out = TextOps.bpePairCounts(docs, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "hello" x2 → el/he/ll/lo x2 each; "hi" → hi x1; "a" too short; null
+    // text contributes nothing. Ties break pair-ascending.
+    assert(out == Seq(("el", 2L), ("he", 2L), ("ll", 2L), ("lo", 2L), ("hi", 1L)))
+  }
 }
