@@ -21,6 +21,14 @@ object SparkEntry {
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Merge list for the doc_bpe_encode gate, rank order. Chosen over the
+    * documents vocabulary so multi-level composition fires: `tab|le`
+    * requires the outputs of three earlier merges.
+    */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "a", "ta" -> "b", "l" -> "e", "tab" -> "le", "a" -> "s",
+    "s" -> "c", "r" -> "o", "ro" -> "w", "v" -> "a", "va" -> "l")
+
   /** Canonical triples from the customer-derived transcripts. */
   private def customerTriples(s: SparkSession, dir: String): Dataset[Triple] =
     ExtractPipeline.canonicalize(
@@ -406,12 +414,36 @@ object SparkEntry {
         .orderBy(col("c"), col("title"))
     }),
 
+    // transitive property path (pred+) over a persisted graph whose
+    // reportsTo edges form a binary tree over the custkeys (depth log2 N):
+    // extraction plus GraphQuery.pathPlus's semi-naive fixpoint, against a
+    // DuckDB recursive-CTE oracle
+    "kg_path_reachable" -> ((s, dir) => {
+      val g = persistedGraph(s, "org|" + dir)(
+        ExtractPipeline.canonicalize(
+          ExtractPipeline.extract(graft.spark.Transcripts.orgChart(s, dir))))
+      graft.spark.GraphQuery.pathPlus(g, "http://schema.org/reportsTo")
+        .select(col("s").as("emp"), col("o").as("mgr"))
+        .orderBy(col("emp"), col("mgr"))
+    }),
+
     // probabilistic ops on engine-portable hashes (PortableHash) — every
     // one oracle-checked bit-for-bit since round 2
     "doc_minhash_pairs" -> ((s, dir) =>
       TextOps.minhashLshPairs(table(s, dir, "documents"), k = 3,
           numHashes = 32, bands = 16, threshold = 0.3)
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    // cross-snapshot incremental dedup: the odd-doc_id half is "today's
+    // crawl batch", deduped against the even half as the existing corpus
+    "doc_cross_dedup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextOps.crossDedup(
+          existing = docs.filter(col("doc_id") % 2 === 0),
+          incoming = docs.filter(col("doc_id") % 2 === 1),
+          k = 3, numHashes = 32, bands = 16, threshold = 0.3)
+        .orderBy(col("doc_new"), col("doc_old"))
+    }),
 
     "doc_simhash" -> ((s, dir) =>
       TextOps.simhash(table(s, dir, "documents")).orderBy(col("doc_id"))),
@@ -476,6 +508,14 @@ object SparkEntry {
     // top-100 adjacent character pairs inside whitespace tokens
     "doc_bpe_pairs" -> ((s, dir) =>
       TextOps.bpePairCounts(table(s, dir, "documents"), k = 100)),
+
+    // BPE APPLICATION with a learned merge list (list-order semantics,
+    // composition exercised: 'tab'+'le' only exists after 't'+'a', 'ta'+'b'
+    // and 'l'+'e' fire). The oracle SQL is GENERATED from the same list —
+    // one source of truth for operator and oracle.
+    "doc_bpe_encode" -> ((s, dir) =>
+      TextOps.bpeEncode(table(s, dir, "documents"), BpeMerges)
+        .orderBy(col("doc_id"))),
 
     // deterministic stratified sampling: per-stratum hash-gated keep rates
     "doc_sample_strata" -> ((s, dir) => {
@@ -647,22 +687,31 @@ object SparkEntry {
     * (doc_a, doc_b, jaccard). Built from the same PortableHash constants
     * the Spark expressions use.
     */
-  private def minhashCtes: String = {
+  /** One corpus side of the MinHash chain (k=3, 32 hashes, 16 bands, df
+    * cap 1000), CTE names suffixed so two sides compose in one query:
+    * `toks$sfx … banded$sfx(doc_id, band, bsig)` over `documents $where`.
+    */
+  private def minhashSideCtes(sfx: String, where: String): String = {
     import graft.ops.PortableHash._
     val numHashes = 32; val bands = 16; val rows = numHashes / bands
     val mins = (0 until numHashes)
       .map(i => s"MIN(${permutedSql("h0", i)}) AS h$i").mkString(", ")
     val banded = (0 until bands).map { b =>
       val fold = bandFoldSql((b * rows until (b + 1) * rows).map(i => s"h$i"))
-      s"SELECT doc_id, $b AS band, $fold AS bsig FROM sg"
+      s"SELECT doc_id, $b AS band, $fold AS bsig FROM sg$sfx"
     }.mkString(" UNION ALL ")
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle FROM toks),
-       |dfc AS (SELECT shingle, COUNT(*) AS c FROM sh0 GROUP BY 1),
-       |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN dfc USING (shingle) WHERE dfc.c <= 1000),
-       |h0t AS (SELECT doc_id, shingle, ${tokenHash31Sql("shingle")} AS h0 FROM sh),
-       |sg AS (SELECT doc_id, $mins FROM h0t GROUP BY doc_id),
-       |banded AS ($banded),
+    val from = if (where.isEmpty) "documents" else s"documents $where"
+    s"""toks$sfx AS (SELECT doc_id, string_split(text, ' ') AS t FROM $from),
+       |sh0$sfx AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle FROM toks$sfx),
+       |dfc$sfx AS (SELECT shingle, COUNT(*) AS c FROM sh0$sfx GROUP BY 1),
+       |sh$sfx AS (SELECT sh0$sfx.doc_id, sh0$sfx.shingle FROM sh0$sfx JOIN dfc$sfx USING (shingle) WHERE dfc$sfx.c <= 1000),
+       |h0t$sfx AS (SELECT doc_id, shingle, ${tokenHash31Sql("shingle")} AS h0 FROM sh$sfx),
+       |sg$sfx AS (SELECT doc_id, $mins FROM h0t$sfx GROUP BY doc_id),
+       |banded$sfx AS ($banded)""".stripMargin
+  }
+
+  private def minhashCtes: String =
+    s"""${minhashSideCtes("", "")},
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |         FROM banded x JOIN banded y ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
@@ -671,7 +720,23 @@ object SparkEntry {
        |          GROUP BY 1, 2),
        |j AS (SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
        |      FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b)""".stripMargin
-  }
+
+  /** Cross-snapshot replay: per-side chains (each with its OWN df cap,
+    * mirroring TextOps.crossDedup's write-once-artifact semantics), then
+    * the cross band join and exact verify.
+    */
+  private def crossDedupCtes: String =
+    s"""${minhashSideCtes("_o", "WHERE doc_id % 2 = 0")},
+       |${minhashSideCtes("_n", "WHERE doc_id % 2 = 1")},
+       |candx AS (SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+       |          FROM banded_n n JOIN banded_o o ON n.band = o.band AND n.bsig = o.bsig),
+       |sizes_o AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh_o GROUP BY 1),
+       |sizes_n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh_n GROUP BY 1),
+       |interx AS (SELECT c.doc_new, c.doc_old, COUNT(*) AS i FROM candx c
+       |           JOIN sh_n a ON a.doc_id = c.doc_new JOIN sh_o b ON b.doc_id = c.doc_old AND b.shingle = a.shingle
+       |           GROUP BY 1, 2),
+       |jx AS (SELECT doc_new, doc_old, ROUND(CAST(i AS DOUBLE) / (sn.n_sh + so.n_sh - i), 4) AS jaccard
+       |       FROM interx JOIN sizes_n sn ON sn.doc_id = doc_new JOIN sizes_o so ON so.doc_id = doc_old)""".stripMargin
 
   /** nProbe-nearest-cell assignment CTE (shared by the k-means oracles). */
   /** Degenerate-cosine guard mirroring VectorOps.safeCos: DuckDB division
@@ -972,6 +1037,10 @@ object SparkEntry {
         s"""WITH $minhashCtes
            |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
 
+      "doc_cross_dedup" ->
+        s"""WITH $crossDedupCtes
+           |SELECT doc_new, doc_old, jaccard FROM jx WHERE jaccard >= 0.3 ORDER BY doc_new, doc_old""".stripMargin,
+
       "doc_dedup_groups" ->
         s"""WITH RECURSIVE $minhashCtes,
            |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.3),
@@ -1081,6 +1150,8 @@ object SparkEntry {
           |p AS (SELECT unnest(list_transform(range(1, length(tok)), i -> substr(tok, CAST(i AS INTEGER), 2))) AS pair
           |      FROM toks WHERE length(tok) >= 2)
           |SELECT pair, COUNT(*) AS n_occ FROM p GROUP BY 1 ORDER BY n_occ DESC, pair LIMIT 100""".stripMargin,
+
+      "doc_bpe_encode" -> TextOps.bpeEncodeOracleSql(BpeMerges),
 
       // COALESCEs mirror stratifiedSample's null handling: a null stratum
       // hashes as '' (default rate) instead of poisoning the concat
@@ -1231,6 +1302,18 @@ object SparkEntry {
           |  c_name AS title,
           |  'http://ex.org/nation/' || CAST(c_nationkey AS VARCHAR) AS nat
           |FROM customer WHERE c_custkey % 7 <> 0 ORDER BY c, title""".stripMargin,
+
+      // recursive CTE mirrors pathPlus's fixpoint; UNION (distinct)
+      // terminates on the same novelty condition the anti-join does
+      "kg_path_reachable" ->
+        """WITH RECURSIVE e AS (
+          |  SELECT 'http://ex.org/emp/' || CAST(c_custkey AS VARCHAR) AS s,
+          |         'http://ex.org/emp/' || CAST(c_custkey // 2 AS VARCHAR) AS o
+          |  FROM customer WHERE c_custkey > 1),
+          |r AS (SELECT s, o FROM e
+          |      UNION
+          |      SELECT r.s, e.o FROM r JOIN e ON r.o = e.s)
+          |SELECT s AS emp, o AS mgr FROM r ORDER BY emp, mgr""".stripMargin,
 
       "kg_bgp_nation_lookup" ->
         """SELECT 'http://ex.org/nation/' || CAST(c_nationkey AS VARCHAR) AS nat,

@@ -159,14 +159,16 @@ object TextOps {
     * share ≥1 band bucket — the join is on (band, signature-slice), never
     * all-pairs. Probabilistic recall; verification keeps precision exact.
     */
-  def minhashLshPairs(docs: DataFrame, k: Int, numHashes: Int, bands: Int,
-                      threshold: Double, maxDf: Long = 1000L): DataFrame = {
+  /** (doc_id, band, sig) MinHash band signatures from a capped shingle
+    * table: for each permutation i, min over shingles of
+    * (a_i·h31(shingle) + b_i) mod P31 — all portable arithmetic, so the
+    * DuckDB oracle reproduces the signatures bit-for-bit. Shared by the
+    * within-corpus pair finder and the cross-snapshot dedup (where the
+    * existing corpus's signatures are the write-once artifact).
+    */
+  private def bandedSignatures(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val sh = cappedShingles(docs, k, maxDf)
-    // signature: for each permutation i, min over shingles of
-    // (a_i·h31(shingle) + b_i) mod P31 — all portable arithmetic, so the
-    // DuckDB oracle reproduces the candidate set bit-for-bit
     val based = sh.withColumn("h0", PortableHash.tokenHash31(col("shingle")))
     val sigCols = (0 until numHashes).map(i =>
       min(PortableHash.permuted(col("h0"), i)).as(s"h$i"))
@@ -176,9 +178,15 @@ object TextOps {
         PortableHash.bandFold((b * rows until (b + 1) * rows).map(i => col(s"h$i")))
           .as("sig")).as(s"b$b")
     }
-    val banded = sig.select(col("doc_id") +: bandCols: _*)
+    sig.select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"), explode(array((0 until bands).map(b => col(s"b$b")): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
+  def minhashLshPairs(docs: DataFrame, k: Int, numHashes: Int, bands: Int,
+                      threshold: Double, maxDf: Long = 1000L): DataFrame = {
+    val sh = cappedShingles(docs, k, maxDf)
+    val banded = bandedSignatures(sh, numHashes, bands)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -194,6 +202,58 @@ object TextOps {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     verifyJaccard(inter, sizes, threshold)
+  }
+
+  /** CROSS-SNAPSHOT incremental dedup — the continuous-ingestion op: which
+    * docs of a NEW batch near-duplicate something already in the EXISTING
+    * corpus? Returns `(doc_new, doc_old, jaccard)` pairs with exact
+    * capped-shingle Jaccard ≥ threshold (same verify discipline as
+    * [[minhashLshPairs]]; a batch doc may match several corpus docs — the
+    * caller's keep-policy aggregates).
+    *
+    * Semantics: each side's df-cap is computed over ITS OWN corpus — in
+    * deployment the existing corpus's capped shingles and band signatures
+    * are write-once artifacts computed when those docs were ingested, so
+    * a new batch cannot retroactively change them. (A batch doc whose
+    * every shingle is corpus-common in the OLD corpus still matches — the
+    * cap only guards the old side's own join buckets.)
+    *
+    * 100-TB shape: the batch side computes signatures over |batch| docs
+    * only, then equi-joins the PRECOMPUTED corpus signatures on
+    * (band, sig) — the corpus' text is never re-shingled, never
+    * re-scanned beyond the candidates' shingle rows; with
+    * |batch| ≪ |corpus| AQE broadcasts the batch side of the candidate
+    * join, so the corpus signature table streams map-side. Exact-verify
+    * joins stay composite-keyed (doc, shingle) — never |cand| × shingles.
+    */
+  def crossDedup(existing: DataFrame, incoming: DataFrame, k: Int,
+                 numHashes: Int, bands: Int, threshold: Double,
+                 maxDf: Long = 1000L): DataFrame = {
+    val shOld = cappedShingles(existing, k, maxDf)
+    val shNew = cappedShingles(incoming, k, maxDf)
+    val cand = bandedSignatures(shNew, numHashes, bands)
+      .select(col("doc_id").as("doc_new"), col("band"), col("sig"))
+      .join(bandedSignatures(shOld, numHashes, bands)
+        .select(col("doc_id").as("doc_old"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select(col("doc_new"), col("doc_old"))
+      .distinct()
+    val inter = cand
+      .join(shNew.select(col("doc_id").as("doc_new"), col("shingle")), "doc_new")
+      .join(shOld.select(col("doc_id").as("doc_old"), col("shingle")),
+        Seq("doc_old", "shingle"))
+      .groupBy("doc_new", "doc_old").agg(count(lit(1)).as("inter"))
+    val sizes = (sh: DataFrame, idc: String, nc: String) =>
+      sh.groupBy(col("doc_id")).agg(count(lit(1)).as(nc))
+        .withColumnRenamed("doc_id", idc)
+    inter
+      .join(sizes(shNew, "doc_new", "n_new"), "doc_new")
+      .join(sizes(shOld, "doc_old", "n_old"), "doc_old")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("n_new") + col("n_old") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_new"), col("doc_old"), col("jaccard"))
   }
 
   /** Text near-duplicate DEDUP decision: MinHash+LSH candidate pairs
@@ -622,6 +682,119 @@ object TextOps {
       .groupBy(col("pair")).agg(count(lit(1)).as("n_occ"))
       .orderBy(col("n_occ").desc, col("pair").asc)
       .limit(k)
+
+  /** Closed symbol alphabet for [[bpeEncode]]: normalization drops
+    * everything else, so the `<sym>` delimiters can never collide with
+    * document content.
+    */
+  private val BpeAlphabet = "[a-z0-9 ]"
+
+  /** Per-document BPE APPLICATION — the other half of the tokenizer story
+    * [[bpePairCounts]] starts (pair counting = training signal; encoding
+    * with a learned merge list is the op that runs over the whole corpus,
+    * i.e. the 100-TB side). Returns `(doc_id, n_tokens, n_chars)`:
+    * the token count after applying `merges` IN LIST ORDER and the
+    * pre-merge symbol count.
+    *
+    * Semantics: **merge-list-order application** (the Sennrich
+    * training-time procedure): each merge `(a, b)` rewrites all
+    * non-overlapping occurrences of ab left-to-right before the next
+    * merge applies — later merges see earlier merges' output, so
+    * `("t","h")` then `("th","e")` composes. This is deliberately NOT the
+    * min-rank-greedy variant some runtime encoders use: list-order is
+    * deterministic, composes as pure string rewriting, and is therefore
+    * bit-for-bit replayable by the DuckDB oracle as a `replace(...)`
+    * chain.
+    *
+    * Spark-first shape: text normalizes to the closed `[a-z0-9 ]`
+    * alphabet, each symbol wraps as `<s>` (delimiters make pair matches
+    * unambiguous — `<a><b>` can never straddle a symbol boundary or match
+    * inside a longer symbol), and every merge is one codegen'd
+    * [[org.apache.spark.sql.functions.replace]] — the whole encoder is a
+    * single whole-stage-codegen projection, no UDF, no shuffle, scan-bound
+    * at any corpus size. The merge list inlines into the plan, which is
+    * the right trade up to vocab-scale lists (~1k merges); past that the
+    * expression tree itself gets large — [[bpeEncodeIter]] is the same
+    * semantics as one per-partition loop for production-sized
+    * vocabularies, parity-proven in the spec.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    requireValidMerges(merges)
+    val sym = delimitedSymbols(col("text"))
+    val enc = merges.foldLeft(sym) { case (acc, (a, b)) =>
+      replace(acc, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+    }
+    docs.select(col("doc_id"),
+      symbolCount(enc).as("n_tokens"), symbolCount(sym).as("n_chars"))
+  }
+
+  /** [[bpeEncode]] for production-sized merge lists: identical
+    * merge-list-order semantics (Java `String.replace` is the same
+    * literal, left-to-right, non-overlapping rewrite as the SQL
+    * `replace`), but the merges live in ONE broadcast-sized array applied
+    * in a per-partition loop instead of a 50k-deep expression tree. A
+    * contains() pre-check skips absent pairs, so the common cost per doc
+    * is a scan of the merge list, not a rewrite per merge. Still a pure
+    * projection: no shuffle, embarrassingly parallel.
+    */
+  def bpeEncodeIter(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    requireValidMerges(merges)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      merges.map { case (a, b) => (s"<$a><$b>", s"<$a$b>") }.toArray)
+    val sym = docs.select(col("doc_id"), delimitedSymbols(col("text")).as("sym"))
+      .as[(Long, String)]
+    sym.mapPartitions { it =>
+      val ms = bc.value
+      it.map { case (id, s) =>
+        if (s == null) (id, None, None) // null text → null counts, like bpeEncode
+        else {
+          var cur = s
+          var i = 0
+          while (i < ms.length) {
+            val (pat, rep) = ms(i)
+            if (cur.contains(pat)) cur = cur.replace(pat, rep)
+            i += 1
+          }
+          (id, Some(cur.count(_ == '<').toLong), Some(s.count(_ == '<').toLong))
+        }
+      }
+    }.toDF("doc_id", "n_tokens", "n_chars")
+  }
+
+  private def delimitedSymbols(text: Column): Column =
+    regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), "(.)", "<$1>")
+
+  private def symbolCount(sym: Column): Column =
+    (length(sym) - length(replace(sym, lit("<"), lit("")))).cast("long")
+
+  private def requireValidMerges(merges: Seq[(String, String)]): Unit =
+    merges.foreach { case (a, b) =>
+      require(a.nonEmpty && b.nonEmpty && (a + b).matches(s"$BpeAlphabet+"),
+        s"merge ('$a','$b') outside the closed alphabet $BpeAlphabet — " +
+          "delimiter collision would corrupt the encoding")
+    }
+
+  /** The DuckDB replay of [[bpeEncode]] over a table named `documents` —
+    * generated from the SAME merge list, so the oracle and the operator
+    * have one source of truth.
+    */
+  def bpeEncodeOracleSql(merges: Seq[(String, String)]): String = {
+    requireValidMerges(merges)
+    val enc = merges.foldLeft("sym") { case (acc, (a, b)) =>
+      s"replace($acc, '<$a><$b>', '<$a$b>')"
+    }
+    s"""WITH n AS (SELECT doc_id,
+       |    regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+       |                   '(.)', '<\\1>', 'g') AS sym
+       |  FROM documents),
+       |e AS (SELECT doc_id, sym, $enc AS enc FROM n)
+       |SELECT doc_id,
+       |  CAST(length(enc) - length(replace(enc, '<', '')) AS BIGINT) AS n_tokens,
+       |  CAST(length(sym) - length(replace(sym, '<', '')) AS BIGINT) AS n_chars
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
 
   /** Near-equal layout of the 62-bit simhash into `nBlocks` contiguous
     * blocks, as (offset, width) pairs. With nBlocks = maxHamming + 1 this is

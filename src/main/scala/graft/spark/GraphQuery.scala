@@ -273,4 +273,59 @@ object GraphQuery {
     val names = varSlots.map(_._2).distinct
     (df.select(names.map(n => col(varSlots.find(_._2 == n).get._1).as(n)): _*), names)
   }
+
+  /** Transitive property path `pred+` (the SPARQL OneOrMorePath analog —
+    * the RDF.rb Queryable role [[bgp]] fills covers only single-hop
+    * patterns; reference expansion.rb's rule loop is the same "derive
+    * until nothing new" shape over different rules): distinct
+    * `(subj, obj)` pairs connected by one or more `pred` edges.
+    *
+    * Spark-first shape, scaled for a 100-TB graph:
+    *  - the edge slice is a constant-predicate scan — the pushed
+    *    `pred = <lit>` filter plus `pred_bucket` partition pruning on a
+    *    [[ExtractPipeline.writeGraph]] layout mean the job reads the ONE
+    *    predicate's partition, never the whole graph;
+    *  - SEMI-NAIVE frontier expansion (same discipline as
+    *    [[Entailment.owlEntail]]): iteration i joins only the previous
+    *    DELTA against the edge slice (a co-partitioned equi-join on the
+    *    hop column), never re-deriving from the accumulated closure, so
+    *    per-iteration cost is O(|Δ ⋈ E|), not O(|closure|²);
+    *  - novelty is a `left_anti` against the union of CHECKPOINTED
+    *    accepted deltas (disjoint by construction — plain unions, shallow
+    *    lineage, no growing-plan recompute);
+    *  - iterations = graph diameter (log₂ N on a management tree); cycles
+    *    terminate naturally — a cyclic hop re-derives only seen pairs and
+    *    the anti-join empties the frontier.
+    *
+    * Hitting `maxIterations` with a live frontier THROWS: a silently
+    * truncated closure is wrong answers, not a degraded mode.
+    */
+  def pathPlus(g: PersistedGraph, pred: String, maxIterations: Int = 64): DataFrame = {
+    var slice = g.df.filter(col("pred") === pred && col("obj_iri").isNotNull)
+    if (g.predBuckets > 0 && g.df.columns.contains("pred_bucket"))
+      slice = slice.filter(
+        col("pred_bucket") === pmod(hash(lit(pred)), lit(g.predBuckets)))
+    val edges = slice.select(col("subj").as("e_s"), col("obj_iri").as("e_o"))
+      .distinct().localCheckpoint()
+    var deltas = List(edges.select(col("e_s").as("s"), col("e_o").as("o")))
+    var delta = deltas.head
+    var iter = 0
+    while (iter < maxIterations && !delta.isEmpty) {
+      iter += 1
+      val seen = deltas.reduce(_ union _)
+      val novel = delta.join(edges, col("o") === col("e_s"))
+        .select(col("s"), col("e_o").as("o"))
+        .distinct().as("d")
+        .join(seen.as("a"),
+          col("d.s") === col("a.s") && col("d.o") === col("a.o"), "left_anti")
+        .localCheckpoint()
+      delta = novel
+      if (!novel.isEmpty) deltas ::= novel
+    }
+    if (!delta.isEmpty)
+      throw new IllegalStateException(
+        s"pathPlus($pred) frontier still live after $maxIterations iterations " +
+          "— raise maxIterations; a truncated closure would be silently wrong")
+    deltas.reduce(_ union _)
+  }
 }

@@ -110,6 +110,33 @@ object Transcripts {
       to_timestamp(lit("2026-03-01 00:00:00")).as("ts"))
   }
 
+  /** One turn per customer carrying an org-chart card: employee
+    * `http://ex.org/emp/K` reports to `http://ex.org/emp/K div 2` (a
+    * binary tree over the custkeys, depth log2 N — the multi-HOP relation
+    * [[GraphQuery.pathPlus]] exists for; the customer KG's relations are
+    * all single-hop). Custkey 1 is the root and carries no reportsTo
+    * link. The manager IRI is derived with integer division on BOTH
+    * sides (`div` here, `//` in the DuckDB oracle) so the edge sets are
+    * bit-identical at any scale.
+    */
+  def orgChart(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = readTable(spark, sfDir, "customer")
+    val markup = format_string(
+      "Org card: <div itemscope itemtype=\"http://schema.org/Person\" itemid=\"http://ex.org/emp/%d\"><span itemprop=\"name\">%s</span>%s</div>",
+      col("c_custkey"), col("c_name"),
+      when(col("c_custkey") > 1,
+          format_string("<link itemprop=\"reportsTo\" href=\"http://ex.org/emp/%d\">",
+            expr("CAST(c_custkey AS BIGINT) div 2")))
+        .otherwise(lit("")))
+    c.select(
+      concat(lit("oconv-"), (col("c_custkey") % 100).cast("string")).as("conv_id"),
+      (col("c_custkey") / 100).cast("int").as("turn_idx"),
+      lit("assistant").as("role"),
+      markup.as("text"),
+      lit(null).cast("string").as("tool"),
+      to_timestamp(lit("2026-04-01 00:00:00")).as("ts"))
+  }
+
   /** Purely synthetic transcripts at arbitrary scale for the benchmark:
     * `spark.range`-driven (fully distributed, deterministic, seedless),
     * with conv_id skew (~10% of turns land in 1% of conversations — the

@@ -353,4 +353,75 @@ class PipelineOpsSpec extends AnyFunSuite {
     // text contributes nothing. Ties break pair-ascending.
     assert(out == Seq(("el", 2L), ("he", 2L), ("ll", 2L), ("lo", 2L), ("hi", 1L)))
   }
+
+  test("bpeEncode: list-order composition, hand-computed counts") {
+    // "table" with merges t+a, ta+b, l+e, tab+le: <t><a><b><l><e> →
+    // <ta><b><l><e> → <tab><l><e> → <tab><le> → <table>: 1 token
+    val docs = Seq(
+      (1L, "table"),
+      (2L, "tab le"),     // space blocks the final merge: <tab>< ><le> = 3
+      (3L, "TABLE!"),     // normalization: case-folds, '!' dropped → like doc 1
+      (4L, "xyz"),        // no merges apply: 3 symbols stay 3 tokens
+      (5L, null: String)) // null text → null counts (oracle parity)
+      .toDF("doc_id", "text")
+    val merges = Seq("t" -> "a", "ta" -> "b", "l" -> "e", "tab" -> "le")
+    val out = TextOps.bpeEncode(docs, merges).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out(1L) == ((1L, 5L)))
+    assert(out(2L) == ((3L, 6L)))
+    assert(out(3L) == ((1L, 5L)))
+    assert(out(4L) == ((3L, 3L)))
+    assert(out(5L) == ((-1L, -1L)))
+  }
+
+  test("bpeEncode: left-to-right non-overlapping rewrite ('aaa' with a+a)") {
+    val docs = Seq((1L, "aaa"), (2L, "aaaa")).toDF("doc_id", "text")
+    val out = TextOps.bpeEncode(docs, Seq("a" -> "a")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // aaa → (aa)a = 2 tokens; aaaa → (aa)(aa) = 2 tokens
+    assert(out == Map(1L -> 2L, 2L -> 2L))
+  }
+
+  test("bpeEncodeIter parity: identical to the expression chain on mixed docs") {
+    val docs = Seq(
+      (1L, "table value row row scan"),
+      (2L, "Tab!LE  va lue"),
+      (3L, ""),
+      (4L, null: String),
+      (5L, "0123 tata vvaall"))
+      .toDF("doc_id", "text")
+    val merges = graft.SparkEntry.BpeMerges
+    val a = TextOps.bpeEncode(docs, merges).orderBy("doc_id").collect().toSeq
+    val b = TextOps.bpeEncodeIter(docs, merges).orderBy("doc_id").collect().toSeq
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+  }
+
+  test("crossDedup: only cross-corpus pairs surface, with exact Jaccard") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (10L, base),                          // existing
+      (12L, base + " lambda"),              // existing near-dup of 10 (within-side: must NOT surface)
+      (21L, base),                          // incoming exact dup of 10/12
+      (23L, "totally different words here nothing shared at all maybe"),
+      (25L, "unrelated content again completely disjoint vocabulary set"))
+      .toDF("doc_id", "text")
+    val out = TextOps.crossDedup(
+        existing = docs.filter(col("doc_id") % 2 === 0),
+        incoming = docs.filter(col("doc_id") % 2 === 1),
+        k = 3, numHashes = 32, bands = 16, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // 21 vs 10: identical shingle sets → jaccard 1.0 (8 shingles each)
+    // 21 vs 12: 8 of 9 shared → 8/9 ≈ 0.8889
+    assert(out == Set((21L, 10L, 1.0), (21L, 12L, 0.8889)))
+  }
+
+  test("bpeEncode: merges outside the closed alphabet are rejected") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.bpeEncode(docs, Seq("<" -> "a"))
+    }
+    assert(e.getMessage.contains("closed alphabet"))
+  }
 }

@@ -355,4 +355,53 @@ class GraphQuerySpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
     assert(out.toSeq == Seq(("http://x/p1", "Ann", "http://x/n1", "Norway")))
   }
+
+  private def pathGraph(rows: (String, String)*): GraphQuery.PersistedGraph =
+    GraphQuery.PersistedGraph(
+      rows.map { case (s, o) => (s, "boss", o, null: String) }
+        .toDF("subj", "pred", "obj_iri", "obj_lexical"),
+      0, Map.empty)
+
+  test("pathPlus: chain closes to all ancestor pairs") {
+    val out = GraphQuery.pathPlus(pathGraph("a" -> "b", "b" -> "c", "c" -> "d"), "boss")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set("a" -> "b", "a" -> "c", "a" -> "d",
+      "b" -> "c", "b" -> "d", "c" -> "d"))
+  }
+
+  test("pathPlus: diamond reconverges without duplicate pairs") {
+    val df = GraphQuery.pathPlus(
+      pathGraph("a" -> "b", "a" -> "c", "b" -> "d", "c" -> "d"), "boss")
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.length == rows.distinct.length)
+    assert(rows.toSet ==
+      Set("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "d", "c" -> "d"))
+  }
+
+  test("pathPlus: cycle terminates with the full strongly-connected closure") {
+    val out = GraphQuery.pathPlus(pathGraph("a" -> "b", "b" -> "c", "c" -> "a"), "boss")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // every node reaches every node, including itself through the cycle
+    assert(out == (for { x <- Set("a", "b", "c"); y <- Set("a", "b", "c") } yield (x, y)))
+  }
+
+  test("pathPlus: non-converged frontier throws instead of truncating") {
+    val e = intercept[IllegalStateException] {
+      GraphQuery.pathPlus(
+        pathGraph("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e"), "boss",
+        maxIterations = 1)
+    }
+    assert(e.getMessage.contains("frontier still live"))
+  }
+
+  test("pathPlus: other predicates never leak into the closure") {
+    val df = Seq(
+      ("a", "boss", "b", null: String),
+      ("b", "knows", "c", null: String),
+      ("b", "boss", "d", null: String))
+      .toDF("subj", "pred", "obj_iri", "obj_lexical")
+    val out = GraphQuery.pathPlus(GraphQuery.PersistedGraph(df, 0, Map.empty), "boss")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set("a" -> "b", "a" -> "d", "b" -> "d"))
+  }
 }
