@@ -427,6 +427,17 @@ object SparkEntry {
         .orderBy(col("emp"), col("mgr"))
     }),
 
+    // entity importance over the same org graph: fixed-point integer
+    // PageRank (5 power iterations) — deterministic under any
+    // partitioning, replayed by the oracle with identical arithmetic
+    "kg_pagerank" -> ((s, dir) => {
+      val g = persistedGraph(s, "org|" + dir)(
+        ExtractPipeline.canonicalize(
+          ExtractPipeline.extract(graft.spark.Transcripts.orgChart(s, dir))))
+      graft.spark.GraphRank.pagerank(g, Some("http://schema.org/reportsTo"), iters = 5)
+        .orderBy(col("node"))
+    }),
+
     // probabilistic ops on engine-portable hashes (PortableHash) — every
     // one oracle-checked bit-for-bit since round 2
     "doc_minhash_pairs" -> ((s, dir) =>
@@ -720,6 +731,27 @@ object SparkEntry {
        |          GROUP BY 1, 2),
        |j AS (SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
        |      FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b)""".stripMargin
+
+  /** Fixed-point PageRank replay over the org reportsTo tree: the same
+    * integer micro-unit arithmetic as GraphRank.pagerank (per-edge `//`
+    * before the sum), unrolled to `iters` chained CTEs.
+    */
+  private def pagerankCtes(iters: Int): String = {
+    import graft.spark.GraphRank.{DampPpm, UnitMicros}
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, SUM((r.r * $DampPpm) // (d.outdeg * $UnitMicros)) AS s
+         |  FROM e JOIN r${i - 1} r ON r.node = e.src JOIN deg d ON d.src = e.src GROUP BY 1),
+         |r$i AS (SELECT n.node, CAST(${UnitMicros - DampPpm} + COALESCE(c.s, 0) AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN c$i c ON c.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT 'http://ex.org/emp/' || CAST(c_custkey AS VARCHAR) AS src,
+       |       'http://ex.org/emp/' || CAST(c_custkey // 2 AS VARCHAR) AS dst
+       |  FROM customer WHERE c_custkey > 1),
+       |nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+       |r0 AS (SELECT node, CAST($UnitMicros AS BIGINT) AS r FROM nodes),
+       |$steps""".stripMargin
+  }
 
   /** Cross-snapshot replay: per-side chains (each with its OWN df cap,
     * mirroring TextOps.crossDedup's write-once-artifact semantics), then
@@ -1314,6 +1346,10 @@ object SparkEntry {
           |      UNION
           |      SELECT r.s, e.o FROM r JOIN e ON r.o = e.s)
           |SELECT s AS emp, o AS mgr FROM r ORDER BY emp, mgr""".stripMargin,
+
+      "kg_pagerank" ->
+        s"""WITH ${pagerankCtes(5)}
+           |SELECT node, r AS rank_micros FROM r5 ORDER BY node""".stripMargin,
 
       "kg_bgp_nation_lookup" ->
         """SELECT 'http://ex.org/nation/' || CAST(c_nationkey AS VARCHAR) AS nat,
