@@ -21,7 +21,8 @@ object Plans {
       "doc_ngram_top", "doc_sample_strata", "doc_quality_filters", "doc_rarity",
       "kg_bgp_person_nation", "kg_bgp_nation_lookup", "kg_bgp_entailed",
       "kg_bgp_person_star", "doc_train_set", "doc_chunks", "doc_source_mixture",
-      "doc_pack_seqs", "doc_repetition", "doc_bpe_pairs")
+      "doc_pack_seqs", "doc_repetition", "doc_bpe_pairs", "doc_bpe_encode",
+      "doc_cross_dedup")
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plan evidence (explain formatted)\n\n"
     sb ++= "Regenerate with `sbt \"runMain graft.Plans\"`. Things to check per plan:\n"
@@ -35,7 +36,12 @@ object Plans {
     sb ++= "therefore start from the checkpointed RDD scan; the upstream\n"
     sb ++= "candidate-pair plans are the doc_minhash_pairs / sim_lsh_pairs\n"
     sb ++= "entries. The sim_ivf_topk assignment stage is the m>128 broadcast\n"
-    sb ++= "path: the ONLY broadcast build side is the bounded centroid model.\n\n"
+    sb ++= "path: the ONLY broadcast build side is the bounded centroid model.\n"
+    sb ++= "The ITERATIVE graph ops (kg_path_reachable's semi-naive frontier,\n"
+    sb ++= "kg_pagerank's power iteration) checkpoint per iteration, so their\n"
+    sb ++= "final plans are unions/scans of checkpointed RDDs; their per-\n"
+    sb ++= "iteration join shape is a co-partitioned equi-join documented in\n"
+    sb ++= "GraphQuery.pathPlus / GraphRank.pagerank scaladoc.\n\n"
     names.foreach { n =>
       sb ++= s"## $n\n\n```\n"
       val df = SparkEntry.queries(n)(spark, dir)

@@ -427,6 +427,23 @@ object SparkEntry {
         .orderBy(col("emp"), col("mgr"))
     }),
 
+    // OPTIONAL group over the org graph: every employee binds name; the
+    // root (custkey 1) has no reportsTo, so its mgr surfaces as NULL
+    // instead of dropping the row — left-join semantics end to end
+    "kg_bgp_optional" -> ((s, dir) => {
+      import graft.spark.GraphQuery.{C, V}
+      val g = persistedGraph(s, "org|" + dir)(
+        ExtractPipeline.canonicalize(
+          ExtractPipeline.extract(graft.spark.Transcripts.orgChart(s, dir))))
+      graft.spark.GraphQuery.bgpOptional(g,
+          required = Seq(
+            (V("e"), C(RdfType), C("http://schema.org/Person")),
+            (V("e"), C("http://schema.org/name"), V("n"))),
+          optionals = Seq(Seq(
+            (V("e"), C("http://schema.org/reportsTo"), V("m")))))
+        .orderBy(col("e"))
+    }),
+
     // entity importance over the same org graph: fixed-point integer
     // PageRank (5 power iterations) — deterministic under any
     // partitioning, replayed by the oracle with identical arithmetic
@@ -1346,6 +1363,13 @@ object SparkEntry {
           |      UNION
           |      SELECT r.s, e.o FROM r JOIN e ON r.o = e.s)
           |SELECT s AS emp, o AS mgr FROM r ORDER BY emp, mgr""".stripMargin,
+
+      "kg_bgp_optional" ->
+        """SELECT 'http://ex.org/emp/' || CAST(c_custkey AS VARCHAR) AS e,
+          |  c_name AS n,
+          |  CASE WHEN c_custkey > 1
+          |    THEN 'http://ex.org/emp/' || CAST(c_custkey // 2 AS VARCHAR) END AS m
+          |FROM customer ORDER BY e""".stripMargin,
 
       "kg_pagerank" ->
         s"""WITH ${pagerankCtes(5)}

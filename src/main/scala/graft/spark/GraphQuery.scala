@@ -274,6 +274,36 @@ object GraphQuery {
     (df.select(names.map(n => col(varSlots.find(_._2 == n).get._1).as(n)): _*), names)
   }
 
+  /** BGP with OPTIONAL groups (the SPARQL OPTIONAL analog): the required
+    * patterns solve as [[bgp]]; each optional group solves as its own BGP
+    * and LEFT-joins the accumulated bindings on the shared variables —
+    * rows without a match keep their required bindings and surface the
+    * group's variables as NULL. Groups left-join in listed order, each
+    * seeing bindings from earlier groups (SPARQL's sequential OPTIONAL
+    * semantics); a group matching k rows multiplies bindings k-fold, like
+    * any join.
+    *
+    * Scale shape: each side is a full [[bgp]] (pushdown, pruning,
+    * selectivity-ordered joins); the left join itself is a co-partitioned
+    * equi-join on the shared binding columns, broadcast when the optional
+    * side is selective enough for AQE to see it small. A group sharing NO
+    * variable with the accumulated bindings is refused for the same
+    * reason [[bgp]] refuses disconnected patterns.
+    */
+  def bgpOptional(g: PersistedGraph, required: Seq[(Term, Term, Term)],
+                  optionals: Seq[Seq[(Term, Term, Term)]]): DataFrame = {
+    var acc = bgp(g, required)
+    optionals.foreach { grp =>
+      val opt = bgp(g, grp)
+      val shared = opt.columns.filter(acc.columns.contains).toSeq
+      require(shared.nonEmpty,
+        s"optional group {${opt.columns.mkString(",")}} shares no variable " +
+          s"with {${acc.columns.mkString(",")}} — a cartesian product is refused")
+      acc = acc.join(opt, shared, "left")
+    }
+    acc
+  }
+
   /** Transitive property path `pred+` (the SPARQL OneOrMorePath analog —
     * the RDF.rb Queryable role [[bgp]] fills covers only single-hop
     * patterns; reference expansion.rb's rule loop is the same "derive
