@@ -444,6 +444,20 @@ object SparkEntry {
         .orderBy(col("e"))
     }),
 
+    // UNION of two typed-entity branches over the customer graph: persons
+    // and countries each solve as their own pruned/pushed BGP; the union
+    // itself is metadata-only, the set-semantics distinct is the one added
+    // shuffle
+    "kg_bgp_union" -> ((s, dir) => {
+      import graft.spark.GraphQuery.{C, V}
+      graft.spark.GraphQuery.bgpUnion(persistedCustomerGraph(s, dir), Seq(
+          Seq((V("x"), C(RdfType), C("http://schema.org/Person")),
+              (V("x"), C("http://schema.org/name"), V("v"))),
+          Seq((V("x"), C(RdfType), C("http://schema.org/Country")),
+              (V("x"), C("http://schema.org/name"), V("v")))))
+        .orderBy(col("x"), col("v"))
+    }),
+
     // entity importance over the same org graph: fixed-point integer
     // PageRank (5 power iterations) — deterministic under any
     // partitioning, replayed by the oracle with identical arithmetic
@@ -1370,6 +1384,18 @@ object SparkEntry {
           |  CASE WHEN c_custkey > 1
           |    THEN 'http://ex.org/emp/' || CAST(c_custkey // 2 AS VARCHAR) END AS m
           |FROM customer ORDER BY e""".stripMargin,
+
+      "kg_bgp_union" ->
+        """SELECT x, v FROM (
+          |  SELECT 'http://ex.org/customer/' || CAST(c_custkey AS VARCHAR) AS x,
+          |    c_name AS v
+          |  FROM customer WHERE c_custkey % 7 <> 0
+          |  UNION
+          |  SELECT DISTINCT 'http://ex.org/nation/' || CAST(c_nationkey AS VARCHAR),
+          |    n_name
+          |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |  WHERE c_custkey % 7 <> 0
+          |) t ORDER BY x, v""".stripMargin,
 
       "kg_pagerank" ->
         s"""WITH ${pagerankCtes(5)}

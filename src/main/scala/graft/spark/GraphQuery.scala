@@ -301,7 +301,36 @@ object GraphQuery {
           s"with {${acc.columns.mkString(",")}} — a cartesian product is refused")
       acc = acc.join(opt, shared, "left")
     }
-    acc
+    // variables surface in first-mention order across required + optional
+    // groups (a using-columns join reorders; the API shouldn't)
+    val outVars = (required ++ optionals.flatten)
+      .flatMap(p => Seq(p._1, p._2, p._3)).collect { case V(n) => n }.distinct
+    acc.select(outVars.map(col): _*)
+  }
+
+  /** UNION of basic graph patterns (the SPARQL UNION analog): each branch
+    * solves as its own [[bgp]] — full pushdown, pruning and join ordering
+    * per branch — and the branch results union under set semantics. A
+    * variable bound in only SOME branches surfaces as NULL in the others
+    * (SPARQL's unbound), with columns in first-mention order across
+    * branches.
+    *
+    * Scale shape: a union of independently-planned subqueries — Spark
+    * unions are metadata-only (no shuffle); the one shuffle this operator
+    * adds is the final distinct on the binding columns, which SPARQL's set
+    * semantics require. Branches prune/push independently, so a union of
+    * two selective constant-pred branches reads two pruned slices, never
+    * the whole graph.
+    */
+  def bgpUnion(g: PersistedGraph, branches: Seq[Seq[(Term, Term, Term)]]): DataFrame = {
+    require(branches.nonEmpty, "empty UNION")
+    val solved = branches.map(b => bgp(g, b))
+    val allVars = solved.flatMap(_.columns).distinct
+    solved.map { df =>
+      val padded = allVars.foldLeft(df)((d, v) =>
+        if (d.columns.contains(v)) d else d.withColumn(v, lit(null).cast("string")))
+      padded.select(allVars.map(col): _*)
+    }.reduce(_ unionByName _).distinct()
   }
 
   /** Transitive property path `pred+` (the SPARQL OneOrMorePath analog —

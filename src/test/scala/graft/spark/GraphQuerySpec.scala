@@ -404,4 +404,58 @@ class GraphQuerySpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(out == Set("a" -> "b", "a" -> "d", "b" -> "d"))
   }
+
+  private def asGraph = GraphQuery.PersistedGraph(graph, 0, Map.empty)
+
+  test("bgpOptional: unmatched optional keeps the row with NULL bindings") {
+    // every Person binds; only p1/p2 know someone — d1 is not a Person so
+    // absent; persons always know here, so drop the knows edge for p2
+    val g = GraphQuery.PersistedGraph(
+      graph.filter("NOT (subj = 'p2' AND pred = 'knows')"), 0, Map.empty)
+    val out = GraphQuery.bgpOptional(g,
+        required = Seq((V("x"), C(TypeP), C("Person"))),
+        optionals = Seq(Seq((V("x"), C("knows"), V("y")))))
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSet
+    assert(out == Set(("p1", "p2"), ("p2", null)))
+  }
+
+  test("bgpOptional: later group sees bindings from an earlier group") {
+    // second optional joins on ?y bound by the FIRST optional: p1 knows
+    // p2, and p2 has a name — sequential OPTIONAL, not independent
+    val out = GraphQuery.bgpOptional(asGraph,
+        required = Seq((V("x"), C(TypeP), C("Person"))),
+        optionals = Seq(
+          Seq((V("x"), C("knows"), V("y"))),
+          Seq((V("y"), C("name"), V("n")))))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(("p1", "p2", "Bob"), ("p2", "p1", "Ann")))
+  }
+
+  test("bgpOptional: a group sharing no variable is refused") {
+    val e = intercept[IllegalArgumentException] {
+      GraphQuery.bgpOptional(asGraph,
+        required = Seq((V("x"), C(TypeP), C("Person"))),
+        optionals = Seq(Seq((V("z"), C("name"), V("n")))))
+    }
+    assert(e.getMessage.contains("cartesian"))
+  }
+
+  test("bgpUnion: branches solve independently and union under set semantics") {
+    val out = GraphQuery.bgpUnion(asGraph, Seq(
+        Seq((V("x"), C(TypeP), C("Person"))),
+        Seq((V("x"), C(TypeP), C("Doc"))),
+        Seq((V("x"), C("likes"), V("x"))))) // p1 again — distinct collapses
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("p1", "p2", "d1"))
+  }
+
+  test("bgpUnion: a variable bound in one branch is NULL in the others") {
+    val out = GraphQuery.bgpUnion(asGraph, Seq(
+        Seq((V("x"), C(TypeP), C("Doc"))),
+        Seq((V("x"), C("name"), V("n")))))
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSet
+    assert(out == Set(("d1", null), ("p1", "Ann"), ("p2", "Bob")))
+  }
 }
