@@ -169,6 +169,33 @@ object SparkEntry {
         .orderBy(col("subj"), col("pred"), col("obj_lexical"))
     }),
 
+    // the EXTENDED rule set (prp-inv, cax-sco chain) in one gate: inverse
+    // edges derive manages from reportsTo over the org tree, a two-level
+    // subClassOf chain types every Person as Agent AND Thing (second level
+    // only reachable through the fixpoint's delta iteration) — and the
+    // closure is PERSISTED through writeGraph before being read back, the
+    // 100-TB entail-once-query-many shape
+    "kg_entail_rules" -> ((s, dir) => {
+      import s.implicits._
+      val schema = Seq(
+        Triple("http://schema.org/reportsTo", Entailment.InverseOf,
+          "http://ex.org/manages", null, null, null, "schema", -1),
+        Triple("http://schema.org/Person", Entailment.SubClassOf,
+          "http://ex.org/Agent", null, null, null, "schema", -1),
+        Triple("http://ex.org/Agent", Entailment.SubClassOf,
+          "http://ex.org/Thing", null, null, null, "schema", -1)).toDS()
+      val g = persistedGraph(s, "orgrules|" + dir)(
+        Entailment.owlEntail(
+          ExtractPipeline.canonicalize(
+            ExtractPipeline.extract(graft.spark.Transcripts.orgChart(s, dir)))
+            .unionByName(schema)))
+      g.df.filter(col("pred") === "http://ex.org/manages" ||
+          (col("pred") === RdfType &&
+            col("obj_iri").isin("http://ex.org/Agent", "http://ex.org/Thing")))
+        .select(col("subj").as("s"), col("pred").as("p"), col("obj_iri").as("o"))
+        .orderBy(col("s"), col("p"), col("o"))
+    }),
+
     "kg_link_components" -> ((s, dir) => {
       val triples = ExtractPipeline.extract(graft.spark.Transcripts.mentions(s, dir))
       graft.spark.EntityLink.mentionMapping(triples, Seq("http://schema.org/contact"))
@@ -944,6 +971,19 @@ object SparkEntry {
           |  SELECT subj, 'http://ex.org/label' AS pred, obj_lexical FROM names
           |  UNION ALL SELECT subj, 'http://ex.org/title', obj_lexical FROM names
           |) t ORDER BY subj, pred, obj_lexical""".stripMargin,
+
+      "kg_entail_rules" ->
+        """SELECT s, p, o FROM (
+          |  SELECT 'http://ex.org/emp/' || CAST(c_custkey // 2 AS VARCHAR) AS s,
+          |    'http://ex.org/manages' AS p,
+          |    'http://ex.org/emp/' || CAST(c_custkey AS VARCHAR) AS o
+          |  FROM customer WHERE c_custkey > 1
+          |  UNION ALL
+          |  SELECT 'http://ex.org/emp/' || CAST(c_custkey AS VARCHAR),
+          |    'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', t.cls
+          |  FROM customer
+          |  CROSS JOIN (VALUES ('http://ex.org/Agent'), ('http://ex.org/Thing')) t(cls)
+          |) u ORDER BY s, p, o""".stripMargin,
 
       "kg_link_components" ->
         """SELECT CAST(4 AS BIGINT) AS component_size, count(*) AS n_components

@@ -4,10 +4,20 @@ import graft.model.Triple
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Distributed OWL-RL-subset entailment: rules prp-spo1, prp-eqp1, prp-eqp2
-  * (the reference's Expansion module,
-  * /root/reference/lib/rdf/microdata/expansion.rb:123-139), re-expressed as
-  * DataFrame joins against a broadcast schema-edge table.
+/** Distributed OWL-RL-subset entailment, re-expressed as DataFrame joins
+  * against a broadcast schema-edge table.
+  *
+  * Rule coverage: prp-spo1, prp-eqp1, prp-eqp2 (the reference's Expansion
+  * module, /root/reference/lib/rdf/microdata/expansion.rb:123-139) plus the
+  * property/class rules a KG-construction pipeline needs beyond the
+  * reference's property-rewrite subset — prp-inv (owl:inverseOf, both
+  * directions), prp-symp (owl:SymmetricProperty), cax-sco
+  * (rdfs:subClassOf) and cax-eqc1/2 (owl:equivalentClass). All five reduce
+  * to one shape: a vocabulary-sized REWRITE-EDGE table `(e_p1, e_p2,
+  * e_kind)` joined broadcast against the facts, where e_kind selects the
+  * derivation: `pred` rewrites the predicate in place, `inv` rewrites the
+  * predicate and SWAPS subject/object (IRI objects only — a literal cannot
+  * become a subject), `class` rewrites the OBJECT of rdf:type facts.
   *
   * Where the reference re-runs every rule over the whole repository until
   * the count stops growing (naive fixpoint, expansion.rb:145-162 — fine at
@@ -29,28 +39,70 @@ import org.apache.spark.sql.functions._
 object Entailment {
   val SubPropertyOf = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
   val EquivalentProperty = "http://www.w3.org/2002/07/owl#equivalentProperty"
+  val InverseOf = "http://www.w3.org/2002/07/owl#inverseOf"
+  val SymmetricProperty = "http://www.w3.org/2002/07/owl#SymmetricProperty"
+  val SubClassOf = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+  val EquivalentClass = "http://www.w3.org/2002/07/owl#equivalentClass"
+  val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
-  /** (e_p1, e_p2) rewrite edges from a triple set: p1 ⊑ p2 forward, plus
-    * both directions of ≡. Vocabulary-sized by construction → broadcast.
+  /** (e_p1, e_p2, e_kind) rewrite edges from a triple set. Kinds:
+    *  - `pred`: x p1 y ⇒ x p2 y — subPropertyOf forward + both directions
+    *    of equivalentProperty;
+    *  - `inv`: x p1 y ⇒ y p2 x — both directions of inverseOf, and p
+    *    inverse-of-itself for a SymmetricProperty declaration;
+    *  - `class`: x rdf:type c1 ⇒ x rdf:type c2 — subClassOf forward +
+    *    both directions of equivalentClass.
+    * Vocabulary-sized by construction → broadcast.
     */
   private def schemaEdges(ds: Dataset[Triple]): DataFrame = {
-    val spo = ds.filter(col("pred") === SubPropertyOf && col("obj_iri").isNotNull)
-      .select(col("subj").as("e_p1"), col("obj_iri").as("e_p2"))
-    val eqp = ds.filter(col("pred") === EquivalentProperty && col("obj_iri").isNotNull)
-    spo
-      .union(eqp.select(col("subj").as("e_p1"), col("obj_iri").as("e_p2")))
-      .union(eqp.select(col("obj_iri").as("e_p1"), col("subj").as("e_p2")))
+    def slice(pred: String): DataFrame =
+      ds.filter(col("pred") === pred && col("obj_iri").isNotNull)
+        .select(col("subj"), col("obj_iri"))
+    def both(df: DataFrame, kind: String): DataFrame =
+      df.select(col("subj").as("e_p1"), col("obj_iri").as("e_p2"), lit(kind).as("e_kind"))
+        .union(df.select(col("obj_iri").as("e_p1"), col("subj").as("e_p2"),
+          lit(kind).as("e_kind")))
+    val spo = slice(SubPropertyOf)
+      .select(col("subj").as("e_p1"), col("obj_iri").as("e_p2"), lit("pred").as("e_kind"))
+    val inv = both(slice(InverseOf), "inv")
+    val symp = ds.filter(col("pred") === RdfType && col("obj_iri") === SymmetricProperty)
+      .select(col("subj").as("e_p1"), col("subj").as("e_p2"), lit("inv").as("e_kind"))
+    val sco = slice(SubClassOf)
+      .select(col("subj").as("e_p1"), col("obj_iri").as("e_p2"), lit("class").as("e_kind"))
+    spo.union(both(slice(EquivalentProperty), "pred"))
+      .union(inv).union(symp)
+      .union(sco).union(both(slice(EquivalentClass), "class"))
       .distinct()
   }
 
-  /** x p1 y ∧ (p1 → p2) ⇒ x p2 y, lineage nulled (derived facts have no
-    * single witness turn).
+  /** One derivation step of every rule kind over `facts` × `edges`,
+    * lineage nulled (derived facts have no single witness turn). Each kind
+    * is a separate broadcast join against its (tiny) edge slice; the three
+    * branches union metadata-only.
     */
-  private def derive(facts: Dataset[Triple], edges: DataFrame): DataFrame =
-    facts.join(broadcast(edges), col("pred") === col("e_p1"))
-      .select(col("subj"), col("e_p2").as("pred"), col("obj_iri"),
-        col("obj_lexical"), col("obj_datatype"), col("obj_lang"),
-        lit(null).cast("string").as("conv_id"), lit(-1).as("turn_idx"))
+  private def derive(facts: Dataset[Triple], edges: DataFrame): DataFrame = {
+    val lineage = Seq(lit(null).cast("string").as("conv_id"), lit(-1).as("turn_idx"))
+    val pred = facts
+      .join(broadcast(edges.filter(col("e_kind") === "pred")), col("pred") === col("e_p1"))
+      .select(Seq(col("subj"), col("e_p2").as("pred"), col("obj_iri"),
+        col("obj_lexical"), col("obj_datatype"), col("obj_lang")) ++ lineage: _*)
+    // inverse: the object becomes the subject, so literal-object facts are
+    // out of the rule's domain (a literal cannot be a subject)
+    val inv = facts.filter(col("obj_iri").isNotNull)
+      .join(broadcast(edges.filter(col("e_kind") === "inv")), col("pred") === col("e_p1"))
+      .select(Seq(col("obj_iri").as("subj"), col("e_p2").as("pred"),
+        col("subj").as("obj_iri"),
+        lit(null).cast("string").as("obj_lexical"),
+        lit(null).cast("string").as("obj_datatype"),
+        lit(null).cast("string").as("obj_lang")) ++ lineage: _*)
+    val cls = facts.filter(col("pred") === RdfType && col("obj_iri").isNotNull)
+      .join(broadcast(edges.filter(col("e_kind") === "class")), col("obj_iri") === col("e_p1"))
+      .select(Seq(col("subj"), col("pred"), col("e_p2").as("obj_iri"),
+        lit(null).cast("string").as("obj_lexical"),
+        lit(null).cast("string").as("obj_datatype"),
+        lit(null).cast("string").as("obj_lang")) ++ lineage: _*)
+    pred.union(inv).union(cls)
+  }
 
   /** Fixpoint-expand a triple set. Returns base ∪ derived, deduplicated on
     * triple identity.
@@ -68,10 +120,20 @@ object Entailment {
     val antiCond = Triple.identityCols
       .map(c => col(s"d.$c") <=> col(s"a.$c")).reduce(_ && _)
 
-    def targetSlice(ds: Dataset[Triple], edges: DataFrame): Dataset[Triple] =
-      ds.join(broadcast(edges.select(col("e_p2")).distinct()),
-          col("pred") === col("e_p2"), "left_semi")
-        .as[Triple]
+    // the slice a derived triple can collide with: pred/inv rewrites land
+    // on a target PREDICATE; class rewrites land on rdf:type facts whose
+    // object is a target CLASS — union of two semi-joined slices (overlap
+    // possible if a property rewrite targets rdf:type itself; duplicates
+    // in `seen` are harmless to an anti-join)
+    def targetSlice(ds: Dataset[Triple], edges: DataFrame): Dataset[Triple] = {
+      val predTargets = ds.join(
+        broadcast(edges.filter(col("e_kind") =!= "class").select(col("e_p2")).distinct()),
+        col("pred") === col("e_p2"), "left_semi")
+      val classTargets = ds.filter(col("pred") === RdfType).join(
+        broadcast(edges.filter(col("e_kind") === "class").select(col("e_p2")).distinct()),
+        col("obj_iri") === col("e_p2"), "left_semi")
+      predTargets.union(classTargets).as[Triple]
+    }
 
     val base = triples.dropDuplicates(Triple.identityCols).localCheckpoint()
     var result = base
@@ -89,7 +151,8 @@ object Entailment {
         else {
           val ne = schemaEdges(delta).as("d")
             .join(edges.as("a"),
-              col("d.e_p1") === col("a.e_p1") && col("d.e_p2") === col("a.e_p2"),
+              col("d.e_p1") === col("a.e_p1") && col("d.e_p2") === col("a.e_p2") &&
+                col("d.e_kind") === col("a.e_kind"),
               "left_anti")
             .localCheckpoint()
           if (ne.isEmpty) None else Some(ne)

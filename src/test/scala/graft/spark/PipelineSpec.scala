@@ -114,6 +114,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(Entailment.owlEntail(base).count() == 1)
   }
 
+  test("owlEntail prp-inv: inverseOf swaps subject/object both directions; literals stay out") {
+    val base = Seq(
+      Triple("http://x/a", "http://x/boss", "http://x/b", null, null, null, "c", 0),
+      Triple("http://x/c", "http://x/rep", "http://x/d", null, null, null, "c", 0),
+      // literal object: boss's inverse must NOT derive a literal subject
+      Triple("http://x/a", "http://x/boss", null, "not-an-iri", null, null, "c", 0),
+      Triple("http://x/boss", Entailment.InverseOf, "http://x/rep", null, null, null, "s", 0)
+    ).toDS()
+    val out = Entailment.owlEntail(base).collect()
+    assert(out.exists(t => t.subj == "http://x/b" && t.pred == "http://x/rep" &&
+      t.obj_iri == "http://x/a")) // forward direction
+    assert(out.exists(t => t.subj == "http://x/d" && t.pred == "http://x/boss" &&
+      t.obj_iri == "http://x/c")) // inverse declaration works backwards too
+    assert(!out.exists(t => t.subj == "not-an-iri"),
+      "a literal object must never become a subject")
+    // closed: re-inverting a derived edge lands on an already-seen fact
+    assert(out.length == base.count().toInt + 2)
+  }
+
+  test("owlEntail prp-symp: a SymmetricProperty edge derives its reverse, once") {
+    val base = Seq(
+      Triple("http://x/a", "http://x/knows", "http://x/b", null, null, null, "c", 0),
+      Triple("http://x/knows", Entailment.RdfType, Entailment.SymmetricProperty,
+        null, null, null, "s", 0)
+    ).toDS()
+    val out = Entailment.owlEntail(base).collect()
+    assert(out.exists(t => t.subj == "http://x/b" && t.pred == "http://x/knows" &&
+      t.obj_iri == "http://x/a"))
+    assert(out.length == 3) // base 2 + the one symmetric fact; fixpoint closed
+  }
+
+  test("owlEntail cax-sco: subClassOf chain closes transitively through the fixpoint") {
+    val base = Seq(
+      Triple("http://x/ann", Entailment.RdfType, "http://x/Person", null, null, null, "c", 0),
+      Triple("http://x/Person", Entailment.SubClassOf, "http://x/Agent", null, null, null, "s", 0),
+      Triple("http://x/Agent", Entailment.SubClassOf, "http://x/Thing", null, null, null, "s", 0)
+    ).toDS()
+    val types = Entailment.owlEntail(base).collect()
+      .filter(t => t.subj == "http://x/ann" && t.pred == Entailment.RdfType)
+      .map(_.obj_iri).toSet
+    assert(types == Set("http://x/Person", "http://x/Agent", "http://x/Thing"))
+  }
+
+  test("owlEntail cax-eqc: equivalentClass rewrites types in both directions") {
+    val base = Seq(
+      Triple("http://x/ann", Entailment.RdfType, "http://x/Human", null, null, null, "c", 0),
+      Triple("http://x/bob", Entailment.RdfType, "http://x/Person", null, null, null, "c", 0),
+      Triple("http://x/Person", Entailment.EquivalentClass, "http://x/Human", null, null, null, "s", 0)
+    ).toDS()
+    val out = Entailment.owlEntail(base).collect()
+    assert(out.exists(t => t.subj == "http://x/ann" && t.obj_iri == "http://x/Person"))
+    assert(out.exists(t => t.subj == "http://x/bob" && t.obj_iri == "http://x/Human"))
+    assert(out.length == 5)
+  }
+
   test("markup prefilter pushes into the scan plan") {
     val t = Transcripts.synthetic(spark, 10, 2)
     val plan = ExtractPipeline.extract(t).queryExecution.executedPlan.toString
