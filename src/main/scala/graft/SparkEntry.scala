@@ -471,6 +471,21 @@ object SparkEntry {
         .orderBy(col("e"))
     }),
 
+    // DESCRIBE the members of one named nation: the selector BGP prunes to
+    // the two constant-pred slices, the selected entity set broadcasts into
+    // a subj semi-join, and FULL triples (typed literals, IRIs, language
+    // tags — coalesced to one term column for the gate) come back
+    "kg_describe" -> ((s, dir) => {
+      import graft.spark.GraphQuery.{C, V}
+      graft.spark.GraphQuery.describe(persistedCustomerGraph(s, dir),
+          Seq((V("nat"), C("http://schema.org/name"), C("NATION_7")),
+              (V("c"), C("http://schema.org/nation"), V("nat"))),
+          entityVar = "c")
+        .select(col("subj").as("s"), col("pred").as("p"),
+          coalesce(col("obj_iri"), col("obj_lexical")).as("o"))
+        .orderBy(col("s"), col("p"), col("o"))
+    }),
+
     // UNION of two typed-entity branches over the customer graph: persons
     // and countries each solve as their own pruned/pushed BGP; the union
     // itself is metadata-only, the set-semantics distinct is the one added
@@ -1424,6 +1439,30 @@ object SparkEntry {
           |  CASE WHEN c_custkey > 1
           |    THEN 'http://ex.org/emp/' || CAST(c_custkey // 2 AS VARCHAR) END AS m
           |FROM customer ORDER BY e""".stripMargin,
+
+      "kg_describe" ->
+        """WITH c AS (
+          |  SELECT * FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |  WHERE c_custkey % 7 <> 0 AND n_name = 'NATION_7')
+          |SELECT s, p, o FROM (
+          |  SELECT 'http://ex.org/customer/' || c_custkey AS s,
+          |    'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+          |    'http://schema.org/Person' AS o FROM c
+          |  UNION ALL SELECT 'http://ex.org/customer/' || c_custkey,
+          |    'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+          |    'http://ex.org/class/Customer' FROM c
+          |  UNION ALL SELECT 'http://ex.org/customer/' || c_custkey,
+          |    'http://schema.org/name', c_name FROM c
+          |  UNION ALL SELECT 'http://ex.org/customer/' || c_custkey,
+          |    'http://schema.org/segment', c_mktsegment FROM c
+          |  UNION ALL SELECT 'http://ex.org/customer/' || c_custkey,
+          |    'http://schema.org/acctbal',
+          |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) FROM c
+          |  UNION ALL SELECT 'http://ex.org/customer/' || c_custkey,
+          |    'http://schema.org/nation', 'http://ex.org/nation/' || c_nationkey FROM c
+          |  UNION ALL SELECT 'http://ex.org/customer/' || c_custkey,
+          |    'http://schema.org/additionalType', 'http://ex.org/class/Customer' FROM c
+          |) t ORDER BY s, p, o""".stripMargin,
 
       "kg_bgp_union" ->
         """SELECT x, v FROM (

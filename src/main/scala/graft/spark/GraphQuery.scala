@@ -308,6 +308,36 @@ object GraphQuery {
     acc.select(outVars.map(col): _*)
   }
 
+  /** DESCRIBE — assemble every stored triple about the entities a BGP
+    * selects (the SPARQL DESCRIBE analog, and the entity-assembly access
+    * path a KG serves most: "give me everything we know about X"). Solves
+    * `patterns` as a [[bgp]], projects the distinct bindings of
+    * `entityVar`, and semi-joins the triple table on subject — full triple
+    * rows (obj_iri/obj_lexical/obj_datatype/obj_lang preserved) come back,
+    * not just the pattern's bindings.
+    *
+    * Scale shape: the selector BGP pushes/prunes as always; the entity set
+    * it yields is selective by construction (that's why the caller wrote
+    * patterns), so the semi-join broadcasts the SMALL entity side under
+    * AQE while the big triple table streams map-side — no full-table
+    * shuffle. On a subject-bucketed table ([[loadBucketedGraph]]) the
+    * subj semi-join additionally inherits the bucketed distribution.
+    */
+  def describe(g: PersistedGraph, patterns: Seq[(Term, Term, Term)],
+               entityVar: String): DataFrame = {
+    val bindings = bgp(g, patterns)
+    require(bindings.columns.contains(entityVar),
+      s"describe variable ?$entityVar is not bound by the patterns " +
+        s"{${bindings.columns.mkString(",")}}")
+    val entities = bindings.select(col(entityVar).as("subj")).distinct()
+    // of the triple columns, keep those the frame actually carries (a
+    // persisted graph has all six; a bare test frame may carry four) —
+    // layout columns like pred_bucket stay internal
+    val cols = Seq("subj", "pred", "obj_iri", "obj_lexical",
+      "obj_datatype", "obj_lang").filter(g.df.columns.contains)
+    g.df.join(entities, Seq("subj"), "left_semi").select(cols.map(col): _*)
+  }
+
   /** UNION of basic graph patterns (the SPARQL UNION analog): each branch
     * solves as its own [[bgp]] — full pushdown, pruning and join ordering
     * per branch — and the branch results union under set semantics. A

@@ -450,6 +450,28 @@ class GraphQuerySpec extends AnyFunSuite {
     assert(out == Set("p1", "p2", "d1"))
   }
 
+  test("describe: returns every stored triple about the selected entities") {
+    val out = GraphQuery.describe(asGraph,
+        Seq((V("x"), C("knows"), C("p2"))), entityVar = "x")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // only p1 knows p2; ALL of p1's triples come back, nothing of p2's
+    assert(out == Set(("p1", TypeP), ("p1", "name"), ("p1", "knows"), ("p1", "likes")))
+  }
+
+  test("describe: full literal columns survive (not the coalesced binding)") {
+    val row = GraphQuery.describe(asGraph,
+        Seq((V("x"), C("name"), C("Ann"))), entityVar = "x")
+      .filter("pred = 'name'").collect().head
+    assert(row.getString(2) == null && row.getString(3) == "Ann")
+  }
+
+  test("describe: an unbound describe variable is refused") {
+    val e = intercept[IllegalArgumentException] {
+      GraphQuery.describe(asGraph, Seq((V("x"), C("name"), V("n"))), entityVar = "z")
+    }
+    assert(e.getMessage.contains("not bound"))
+  }
+
   test("bgpUnion: a variable bound in one branch is NULL in the others") {
     val out = GraphQuery.bgpUnion(asGraph, Seq(
         Seq((V("x"), C(TypeP), C("Doc"))),
