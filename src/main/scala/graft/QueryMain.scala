@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions.col
   *     --output /path/to/bindings \
   *     --pattern '?c <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://schema.org/Person>' \
   *     --pattern '?c <http://schema.org/name> ?name' \
-  *     [--show 20] [--entail]
+  *     [--show 20] [--entail] [--describe c]
   *
   * `--graph` opens a [[graft.spark.ExtractPipeline.writeGraph]] directory
   * (pred_bucket partition pruning from its own layout metadata); `--table`
@@ -30,6 +30,11 @@ import org.apache.spark.sql.functions.col
   * map orders the joins by selectivity — see [[graft.spark.GraphQuery]].
   * Bindings are written as parquet; `--show N` additionally prints the
   * first N rows as TSV.
+  *
+  * `--describe <var>` switches from SELECT to DESCRIBE: the patterns
+  * become the entity selector and the output is every stored triple about
+  * the entities `?var` binds to (full obj_iri/obj_lexical/obj_datatype/
+  * obj_lang columns) — see [[graft.spark.GraphQuery.describe]].
   */
 object QueryMain {
 
@@ -82,7 +87,10 @@ object QueryMain {
           .toDF().localCheckpoint()
         GraphQuery.PersistedGraph(expanded, 0, GraphQuery.predStats(expanded))
       } else g0
-    val out: DataFrame = GraphQuery.bgp(g, patterns)
+    val out: DataFrame = opts.get("describe") match {
+      case Some(v) => GraphQuery.describe(g, patterns, v.stripPrefix("?"))
+      case None => GraphQuery.bgp(g, patterns)
+    }
     val rows = graft.spark.ExtractPipeline.writeCounted(out,
       _.write.mode("overwrite").parquet(opts("output")))
     opts.get("show").foreach { k =>

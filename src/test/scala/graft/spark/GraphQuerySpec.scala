@@ -189,6 +189,15 @@ class GraphQuerySpec extends AnyFunSuite {
     // --graph and --table are mutually exclusive and one is required
     intercept[IllegalArgumentException](graft.QueryMain.run(Array(
       "--output", s"$base/out4", "--pattern", "?a <p> ?b"), spark))
+    // --describe: patterns select, the output is FULL triples about ?p
+    val n5 = graft.QueryMain.run(Array(
+      "--graph", s"$base/graph", "--output", s"$base/out5", "--describe", "?p",
+      "--pattern", "?p <http://schema.org/name> \"Ann Lee\""), spark)
+    assert(n5 == 3L) // type + name + nation, nothing of n1's
+    val preds = spark.read.parquet(s"$base/out5")
+      .collect().map(_.getString(1)).toSet
+    assert(preds == Set("http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+      "http://schema.org/name", "http://schema.org/nation"))
   }
 
   test("subject-star BGP over the bucketed table: ZERO Exchange, results equal plain-frame bgp") {
