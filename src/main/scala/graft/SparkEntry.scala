@@ -486,6 +486,57 @@ object SparkEntry {
         .orderBy(col("s"), col("p"), col("o"))
     }),
 
+    // ASK (satisfied + unsatisfiable) over the customer graph: the
+    // satisfied probe short-circuits via CollectLimit; the absent
+    // predicate estimates 0 rows and empties immediately
+    "kg_ask" -> ((s, dir) => {
+      import s.implicits._
+      import graft.spark.GraphQuery.{C, V}
+      val g = persistedCustomerGraph(s, dir)
+      Seq(
+        ("person_exists", graft.spark.GraphQuery.ask(g, Seq(
+          (V("x"), C(RdfType), C("http://schema.org/Person")),
+          (V("x"), C("http://schema.org/name"), V("n"))))),
+        ("unicorn_exists", graft.spark.GraphQuery.ask(g, Seq(
+          (V("x"), C("http://ex.org/unicorn"), V("y"))))))
+        .toDF("q", "ask").orderBy(col("q"))
+    }),
+
+    // CONSTRUCT over the org graph: template-derive the manages edge plus
+    // a Manager typing for every boss — rule application WITHOUT the
+    // entailment fixpoint, set semantics (a boss with two reports types
+    // once)
+    "kg_construct" -> ((s, dir) => {
+      import graft.spark.GraphQuery.{C, V}
+      val g = persistedGraph(s, "org|" + dir)(
+        ExtractPipeline.canonicalize(
+          ExtractPipeline.extract(graft.spark.Transcripts.orgChart(s, dir))))
+      graft.spark.GraphQuery.construct(g,
+          patterns = Seq((V("e"), C("http://schema.org/reportsTo"), V("m"))),
+          template = Seq(
+            (V("m"), C("http://ex.org/manages"), V("e")),
+            (V("m"), C(RdfType), C("http://ex.org/Manager"))))
+        .orderBy(col("subj"), col("pred"), col("obj"))
+    }),
+
+    // MINUS over the org graph: employees nobody reports to — the leaves
+    // of the binary reporting tree (half the company). The minus group's
+    // anti-join runs on the shared ?e binding; SPARQL's disjoint-domain
+    // no-op rule is spec-covered
+    "kg_bgp_minus" -> ((s, dir) => {
+      import graft.spark.GraphQuery.{C, V}
+      val g = persistedGraph(s, "org|" + dir)(
+        ExtractPipeline.canonicalize(
+          ExtractPipeline.extract(graft.spark.Transcripts.orgChart(s, dir))))
+      graft.spark.GraphQuery.bgpMinus(g,
+          required = Seq(
+            (V("e"), C(RdfType), C("http://schema.org/Person")),
+            (V("e"), C("http://schema.org/name"), V("n"))),
+          minusGroups = Seq(Seq(
+            (V("x"), C("http://schema.org/reportsTo"), V("e")))))
+        .orderBy(col("e"))
+    }),
+
     // UNION of two typed-entity branches over the customer graph: persons
     // and countries each solve as their own pruned/pushed BGP; the union
     // itself is metadata-only, the set-semantics distinct is the one added
@@ -1463,6 +1514,33 @@ object SparkEntry {
           |  UNION ALL SELECT 'http://ex.org/customer/' || c_custkey,
           |    'http://schema.org/additionalType', 'http://ex.org/class/Customer' FROM c
           |) t ORDER BY s, p, o""".stripMargin,
+
+      "kg_ask" ->
+        """SELECT q, ask FROM (
+          |  SELECT 'person_exists' AS q, TRUE AS ask
+          |  UNION ALL SELECT 'unicorn_exists', FALSE
+          |) t ORDER BY q""".stripMargin,
+
+      "kg_construct" ->
+        """SELECT subj, pred, obj FROM (
+          |  SELECT 'http://ex.org/emp/' || CAST(c_custkey // 2 AS VARCHAR) AS subj,
+          |    'http://ex.org/manages' AS pred,
+          |    'http://ex.org/emp/' || CAST(c_custkey AS VARCHAR) AS obj
+          |  FROM customer WHERE c_custkey > 1
+          |  UNION
+          |  SELECT DISTINCT 'http://ex.org/emp/' || CAST(c_custkey // 2 AS VARCHAR),
+          |    'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+          |    'http://ex.org/Manager'
+          |  FROM customer WHERE c_custkey > 1
+          |) t ORDER BY subj, pred, obj""".stripMargin,
+
+      "kg_bgp_minus" ->
+        """SELECT 'http://ex.org/emp/' || CAST(c_custkey AS VARCHAR) AS e,
+          |  c_name AS n
+          |FROM customer c
+          |WHERE NOT EXISTS (SELECT 1 FROM customer c2
+          |  WHERE c2.c_custkey > 1 AND c2.c_custkey // 2 = c.c_custkey)
+          |ORDER BY e""".stripMargin,
 
       "kg_bgp_union" ->
         """SELECT x, v FROM (

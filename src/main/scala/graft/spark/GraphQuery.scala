@@ -1,6 +1,6 @@
 package graft.spark
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Basic-graph-pattern (BGP) querying over the extracted triple table —
@@ -306,6 +306,69 @@ object GraphQuery {
     val outVars = (required ++ optionals.flatten)
       .flatMap(p => Seq(p._1, p._2, p._3)).collect { case V(n) => n }.distinct
     acc.select(outVars.map(col): _*)
+  }
+
+  /** ASK — does the pattern set have at least one solution? (The SPARQL
+    * ASK query form.) Planned as the BGP with a LIMIT 1 on top: Spark's
+    * CollectLimit short-circuits — tasks stop as soon as one row
+    * surfaces, so a satisfied ASK over a selective pattern reads one
+    * pruned slice and exits, never the full solution set.
+    */
+  def ask(g: PersistedGraph, patterns: Seq[(Term, Term, Term)]): Boolean =
+    !bgp(g, patterns).limit(1).isEmpty
+
+  /** CONSTRUCT — build new triples from a template over the BGP's
+    * solutions (the SPARQL CONSTRUCT query form, and the light-weight
+    * rule-application path: "wherever this shape matches, assert these
+    * edges" without running the full entailment fixpoint). Template slots
+    * are [[C]] constants or [[V]] variables bound by the patterns; output
+    * is a distinct (subj, pred, obj) edge frame (set semantics, like any
+    * graph). A term bound to a literal surfaces by its lexical form —
+    * callers constructing typed-literal graphs should keep literals in
+    * object position and join back to the source for datatypes.
+    *
+    * Scale shape: one projection over the solved BGP plus the distinct
+    * that set semantics require — no joins beyond the BGP's own.
+    */
+  def construct(g: PersistedGraph, patterns: Seq[(Term, Term, Term)],
+                template: Seq[(Term, Term, Term)]): DataFrame = {
+    val bindings = bgp(g, patterns)
+    def slot(t: Term, name: String): Column = t match {
+      case C(v) => lit(v).as(name)
+      case V(n) =>
+        require(bindings.columns.contains(n),
+          s"template variable ?$n is not bound by the patterns " +
+            s"{${bindings.columns.mkString(",")}}")
+        col(n).as(name)
+    }
+    template.map { case (s, p, o) =>
+      bindings.select(slot(s, "subj"), slot(p, "pred"), slot(o, "obj"))
+    }.reduce(_ unionByName _).distinct()
+  }
+
+  /** BGP difference (the SPARQL MINUS analog): solutions of the required
+    * patterns with every row removed for which some minus-group solution
+    * agrees on the shared variables. Each group solves as its own [[bgp]]
+    * and applies as a LEFT ANTI join on the shared binding columns — the
+    * negation never materializes a product. A group sharing NO variable
+    * with the accumulated bindings removes NOTHING (SPARQL's MINUS
+    * disjoint-domain rule — unlike [[bgpOptional]], where a disconnected
+    * group would mean a cartesian and is refused, here the spec'd
+    * semantics are already safe).
+    *
+    * Scale shape: anti-joins shuffle on the shared binding columns like
+    * any equi-join, and AQE broadcasts a selective minus side; the minus
+    * group's own patterns push/prune independently.
+    */
+  def bgpMinus(g: PersistedGraph, required: Seq[(Term, Term, Term)],
+               minusGroups: Seq[Seq[(Term, Term, Term)]]): DataFrame = {
+    var acc = bgp(g, required)
+    minusGroups.foreach { grp =>
+      val m = bgp(g, grp)
+      val shared = m.columns.filter(acc.columns.contains).toSeq
+      if (shared.nonEmpty) acc = acc.join(m, shared, "left_anti")
+    }
+    acc
   }
 
   /** DESCRIBE — assemble every stored triple about the entities a BGP

@@ -459,6 +459,55 @@ class GraphQuerySpec extends AnyFunSuite {
     assert(out == Set("p1", "p2", "d1"))
   }
 
+  test("ask: true when a solution exists, false on an absent predicate") {
+    assert(GraphQuery.ask(asGraph, Seq((V("x"), C(TypeP), C("Person")))))
+    assert(!GraphQuery.ask(asGraph, Seq((V("x"), C("no-such-pred"), V("y")))))
+  }
+
+  test("construct: template triples from bindings, set semantics") {
+    // both knows edges instantiate the template; the constant typing of
+    // ?x dedups to the two distinct subjects
+    val out = GraphQuery.construct(asGraph,
+        patterns = Seq((V("x"), C("knows"), V("y"))),
+        template = Seq(
+          (V("y"), C("knownBy"), V("x")),
+          (V("x"), C(TypeP), C("Knower"))))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(
+      ("p2", "knownBy", "p1"), ("p1", "knownBy", "p2"),
+      ("p1", TypeP, "Knower"), ("p2", TypeP, "Knower")))
+  }
+
+  test("construct: an unbound template variable is refused") {
+    val e = intercept[IllegalArgumentException] {
+      GraphQuery.construct(asGraph,
+        patterns = Seq((V("x"), C("knows"), V("y"))),
+        template = Seq((V("z"), C("p"), V("x"))))
+    }
+    assert(e.getMessage.contains("not bound"))
+  }
+
+  test("bgpMinus: rows with an agreeing minus solution are removed") {
+    // persons minus those someone knows: p1 knows p2 and p2 knows p1, so
+    // both vanish; d1 is not a Person — empty. Use a graph where only p2
+    // is known.
+    val g = GraphQuery.PersistedGraph(
+      graph.filter("NOT (subj = 'p2' AND pred = 'knows')"), 0, Map.empty)
+    val out = GraphQuery.bgpMinus(g,
+        required = Seq((V("e"), C(TypeP), C("Person"))),
+        minusGroups = Seq(Seq((V("x"), C("knows"), V("e")))))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("p1")) // p2 is known (by p1) and drops
+  }
+
+  test("bgpMinus: a disjoint-domain minus group removes nothing (SPARQL MINUS rule)") {
+    val out = GraphQuery.bgpMinus(asGraph,
+        required = Seq((V("e"), C(TypeP), C("Person"))),
+        minusGroups = Seq(Seq((V("a"), C("knows"), V("b")))))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("p1", "p2"))
+  }
+
   test("describe: returns every stored triple about the selected entities") {
     val out = GraphQuery.describe(asGraph,
         Seq((V("x"), C("knows"), C("p2"))), entityVar = "x")
