@@ -218,19 +218,45 @@ object TextOps {
     * every shingle is corpus-common in the OLD corpus still matches — the
     * cap only guards the old side's own join buckets.)
     *
-    * 100-TB shape: the batch side computes signatures over |batch| docs
-    * only, then equi-joins the PRECOMPUTED corpus signatures on
-    * (band, sig) — the corpus' text is never re-shingled, never
-    * re-scanned beyond the candidates' shingle rows; with
-    * |batch| ≪ |corpus| AQE broadcasts the batch side of the candidate
-    * join, so the corpus signature table streams map-side. Exact-verify
-    * joins stay composite-keyed (doc, shingle) — never |cand| × shingles.
+    * 100-TB shape: use [[dedupIndex]] + [[crossDedupIndexed]] — the
+    * corpus' capped shingles are a WRITE-ONCE artifact computed at ingest
+    * and persisted; each batch then computes signatures over |batch| docs
+    * only and equi-joins the stored index on (band, sig) — the corpus'
+    * text is never re-shingled; with |batch| ≪ |corpus| AQE broadcasts
+    * the batch side of the candidate join, so the corpus signature table
+    * streams map-side. Exact-verify joins stay composite-keyed
+    * (doc, shingle) — never |cand| × shingles. This convenience overload
+    * builds the index inline (checkpointed, so the corpus is shingled
+    * exactly once per call — still a full-corpus pass; steady-state
+    * ingestion should persist the index instead).
     */
   def crossDedup(existing: DataFrame, incoming: DataFrame, k: Int,
                  numHashes: Int, bands: Int, threshold: Double,
-                 maxDf: Long = 1000L): DataFrame = {
-    val shOld = cappedShingles(existing, k, maxDf)
-    val shNew = cappedShingles(incoming, k, maxDf)
+                 maxDf: Long = 1000L): DataFrame =
+    crossDedupIndexed(dedupIndex(existing, k, maxDf).localCheckpoint(),
+      incoming, k, numHashes, bands, threshold, maxDf)
+
+  /** The write-once per-snapshot dedup index: capped shingle rows
+    * `(doc_id, shingle)`, from which band signatures and shingle-set
+    * sizes derive. Computed at ingest, persisted with the corpus (e.g. a
+    * parquet table bucketed by shingle), and handed to
+    * [[crossDedupIndexed]] for every later batch — the df-cap is fixed at
+    * snapshot time, so a new batch can never retroactively change the
+    * corpus' own join buckets.
+    */
+  def dedupIndex(docs: DataFrame, k: Int, maxDf: Long = 1000L): DataFrame =
+    cappedShingles(docs, k, maxDf)
+
+  /** [[crossDedup]] against a PRECOMPUTED corpus index (the deployment
+    * path — the corpus text is never touched; the index is read, not
+    * rebuilt). The incoming batch is shingled once (checkpointed — it
+    * feeds the signature build, the verify join, and the size agg).
+    */
+  def crossDedupIndexed(existingIndex: DataFrame, incoming: DataFrame, k: Int,
+                        numHashes: Int, bands: Int, threshold: Double,
+                        maxDf: Long = 1000L): DataFrame = {
+    val shOld = existingIndex
+    val shNew = cappedShingles(incoming, k, maxDf).localCheckpoint()
     val cand = bandedSignatures(shNew, numHashes, bands)
       .select(col("doc_id").as("doc_new"), col("band"), col("sig"))
       .join(bandedSignatures(shOld, numHashes, bands)

@@ -283,23 +283,67 @@ object GraphQuery {
     * semantics); a group matching k rows multiplies bindings k-fold, like
     * any join.
     *
+    * SPARQL's compatibility rule — an UNBOUND shared variable is
+    * compatible with any binding — is honored when a later group joins on
+    * a variable an earlier group may have left NULL (the chained idiom
+    * `OPTIONAL {?x knows ?y} OPTIONAL {?y name ?n}`): rows whose shared
+    * variables are all bound take the plain equi-join; rows where one is
+    * NULL join by `IS NULL OR equal` and the match's value fills the
+    * binding (coalesce). Per the SPARQL algebra an unbound row is
+    * compatible with EVERY group solution and multiplies accordingly —
+    * that blow-up is confined to the unbound slice by the split (the
+    * bound slice, normally the bulk, stays hash-joined).
+    *
     * Scale shape: each side is a full [[bgp]] (pushdown, pruning,
-    * selectivity-ordered joins); the left join itself is a co-partitioned
+    * selectivity-ordered joins); the left join is a co-partitioned
     * equi-join on the shared binding columns, broadcast when the optional
-    * side is selective enough for AQE to see it small. A group sharing NO
-    * variable with the accumulated bindings is refused for the same
-    * reason [[bgp]] refuses disconnected patterns.
+    * side is selective enough for AQE to see it small; only possibly-NULL
+    * rows (post-OPTIONAL leftovers) pay the compatibility join. A group
+    * sharing NO variable with the accumulated bindings is refused for the
+    * same reason [[bgp]] refuses disconnected patterns.
     */
   def bgpOptional(g: PersistedGraph, required: Seq[(Term, Term, Term)],
                   optionals: Seq[Seq[(Term, Term, Term)]]): DataFrame = {
     var acc = bgp(g, required)
+    // variables an earlier optional group may have left NULL
+    val maybeNull = scala.collection.mutable.Set.empty[String]
     optionals.foreach { grp =>
       val opt = bgp(g, grp)
       val shared = opt.columns.filter(acc.columns.contains).toSeq
       require(shared.nonEmpty,
         s"optional group {${opt.columns.mkString(",")}} shares no variable " +
           s"with {${acc.columns.mkString(",")}} — a cartesian product is refused")
-      acc = acc.join(opt, shared, "left")
+      val (nullable, bound) = shared.partition(maybeNull.contains)
+      acc =
+        if (nullable.isEmpty) acc.join(opt, shared, "left")
+        else {
+          val accOnly = acc.columns.filterNot(shared.contains)
+          val optOnly = opt.columns.filterNot(shared.contains)
+          val outCols = shared ++ accOnly ++ optOnly
+          val allBound = nullable.map(col(_).isNotNull).reduce(_ && _)
+          // bound slice: plain equi left join (hash-joinable, the bulk)
+          val boundSide = acc.filter(allBound).join(opt, shared, "left")
+            .select(outCols.map(col): _*)
+          // unbound slice: compatibility join — NULL matches anything and
+          // takes the match's binding; confined to post-OPTIONAL leftovers
+          val cond = (bound.map(c => col(s"gq_a.$c") === col(s"gq_o.$c")) ++
+            nullable.map(c =>
+              col(s"gq_a.$c").isNull || col(s"gq_a.$c") === col(s"gq_o.$c")))
+            .reduce(_ && _)
+          val nullSide = acc.filter(!allBound).as("gq_a")
+            .join(opt.as("gq_o"), cond, "left")
+            .select(bound.map(c => col(s"gq_a.$c").as(c)) ++
+              nullable.map(c =>
+                coalesce(col(s"gq_a.$c"), col(s"gq_o.$c")).as(c)) ++
+              accOnly.map(c => col(s"gq_a.$c").as(c)) ++
+              optOnly.map(c => col(s"gq_o.$c").as(c)): _*)
+            .select(outCols.map(col): _*)
+          boundSide.unionByName(nullSide)
+        }
+      // the group's new variables are NULL on unmatched rows; nullable
+      // shared variables stay possibly-NULL (unmatched rows keep NULL
+      // through the coalesce)
+      maybeNull ++= opt.columns.filterNot(shared.contains)
     }
     // variables surface in first-mention order across required + optional
     // groups (a using-columns join reorders; the API shouldn't)
@@ -332,6 +376,7 @@ object GraphQuery {
     */
   def construct(g: PersistedGraph, patterns: Seq[(Term, Term, Term)],
                 template: Seq[(Term, Term, Term)]): DataFrame = {
+    require(template.nonEmpty, "empty CONSTRUCT template")
     val bindings = bgp(g, patterns)
     def slot(t: Term, name: String): Column = t match {
       case C(v) => lit(v).as(name)
@@ -417,13 +462,11 @@ object GraphQuery {
     */
   def bgpUnion(g: PersistedGraph, branches: Seq[Seq[(Term, Term, Term)]]): DataFrame = {
     require(branches.nonEmpty, "empty UNION")
-    val solved = branches.map(b => bgp(g, b))
-    val allVars = solved.flatMap(_.columns).distinct
-    solved.map { df =>
-      val padded = allVars.foldLeft(df)((d, v) =>
-        if (d.columns.contains(v)) d else d.withColumn(v, lit(null).cast("string")))
-      padded.select(allVars.map(col): _*)
-    }.reduce(_ unionByName _).distinct()
+    // allowMissingColumns NULL-fills branch-unbound variables and keeps
+    // first-mention column order across the reduce — every binding column
+    // is a string, so the filled NULLs type consistently
+    branches.map(b => bgp(g, b))
+      .reduce(_.unionByName(_, allowMissingColumns = true)).distinct()
   }
 
   /** Transitive property path `pred+` (the SPARQL OneOrMorePath analog —
@@ -461,8 +504,9 @@ object GraphQuery {
       .distinct().localCheckpoint()
     var deltas = List(edges.select(col("e_s").as("s"), col("e_o").as("o")))
     var delta = deltas.head
+    var frontierLive = !delta.isEmpty
     var iter = 0
-    while (iter < maxIterations && !delta.isEmpty) {
+    while (iter < maxIterations && frontierLive) {
       iter += 1
       val seen = deltas.reduce(_ union _)
       val novel = delta.join(edges, col("o") === col("e_s"))
@@ -472,9 +516,11 @@ object GraphQuery {
           col("d.s") === col("a.s") && col("d.o") === col("a.o"), "left_anti")
         .localCheckpoint()
       delta = novel
-      if (!novel.isEmpty) deltas ::= novel
+      // one emptiness probe per iteration (the while-condition reuses it)
+      frontierLive = !novel.isEmpty
+      if (frontierLive) deltas ::= novel
     }
-    if (!delta.isEmpty)
+    if (frontierLive)
       throw new IllegalStateException(
         s"pathPlus($pred) frontier still live after $maxIterations iterations " +
           "— raise maxIterations; a truncated closure would be silently wrong")

@@ -35,6 +35,17 @@ object GraphRank {
   val DampPpm = 850000L // d = 0.85 in parts-per-million
   val UnitMicros = 1000000L
 
+  /** Largest rank whose damped contribution still fits a Long. Total rank
+    * mass is conserved at ~n·10⁶ micros, so a single node can only
+    * approach this (~10⁸ rank units) when a ≥10⁸-node graph funnels into
+    * one hub — rare but REAL at corpus scale, and a silent wrap would
+    * aggregate garbage (negative) ranks. The contribution expression
+    * therefore raises instead of wrapping (same no-silent-corruption
+    * stance as sourceMixture's ppm bound; a detected overflow means the
+    * caller should rescale UnitMicros, not trust wrapped output).
+    */
+  val MaxSafeRankMicros: Long = Long.MaxValue / DampPpm
+
   /** PageRank over an explicit edge list `(src, dst)`. Returns
     * `(node, rank_micros)` for every node appearing as src or dst.
     */
@@ -52,7 +63,9 @@ object GraphRank {
         // per-EDGE integer floor division before the sum: the aggregate is
         // then a plain long sum — partition-order independent
         .select(col("dst"),
-          expr(s"(r * $DampPpm) div (outdeg * $UnitMicros)").as("c"))
+          expr(s"""CASE WHEN r > ${MaxSafeRankMicros}L
+                   THEN CAST(raise_error('pagerank rank overflow: a node rank exceeds Long.MaxValue/damp — rescale UnitMicros') AS BIGINT)
+                   ELSE (r * $DampPpm) div (outdeg * $UnitMicros) END""").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       r = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
         .select(col("node"),

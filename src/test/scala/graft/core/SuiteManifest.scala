@@ -22,9 +22,12 @@ object SuiteManifest {
                          comment: String, action: String,
                          result: Option[String], registry: Option[String],
                          base: Option[String]) {
-    /** suite_helper.rb:164 — negative iff any @type mentions "Negative". */
+    /** suite_helper.rb:164 — negative iff any @type mentions "Negative".
+      * (The manifest shape also distinguishes Evaluation vs Syntax types;
+      * every vendored entry is an Evaluation test, so that axis is not
+      * modeled — a future Syntax entry would add a predicate here.)
+      */
     def positive: Boolean = !types.exists(_.contains("Negative"))
-    def evaluate: Boolean = types.exists(_.contains("Eval"))
   }
 
   /** Resolve a manifest-relative path: suite-local files first

@@ -417,6 +417,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == Set((21L, 10L, 1.0), (21L, 12L, 0.8889)))
   }
 
+  test("crossDedupIndexed over a persisted index equals the inline path") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (10L, base), (12L, base + " lambda"), (21L, base),
+      (23L, "totally different words here nothing shared at all maybe"))
+      .toDF("doc_id", "text")
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    // round-trip the index through parquet: the write-once deployment shape
+    val dir = java.nio.file.Files.createTempDirectory("dedup_idx_").toString
+    TextOps.dedupIndex(existing, k = 3).write.parquet(s"$dir/idx")
+    val viaIndex = TextOps.crossDedupIndexed(
+        spark.read.parquet(s"$dir/idx"), incoming,
+        k = 3, numHashes = 32, bands = 16, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inline = TextOps.crossDedup(existing, incoming,
+        k = 3, numHashes = 32, bands = 16, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIndex == inline && viaIndex.nonEmpty)
+  }
+
   test("bpeEncode: merges outside the closed alphabet are rejected") {
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {

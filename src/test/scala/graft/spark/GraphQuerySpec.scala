@@ -441,6 +441,42 @@ class GraphQuerySpec extends AnyFunSuite {
     assert(out == Set(("p1", "p2", "Bob"), ("p2", "p1", "Ann")))
   }
 
+  test("bgpOptional: SPARQL compatibility — an unbound shared var matches any binding") {
+    // the chained idiom: p2 has no knows edge, so ?y is NULL after group
+    // 1. SPARQL's rule: p2's unbound ?y is compatible with EVERY
+    // (?y name ?n) solution and takes the match's binding; p1's bound
+    // ?y=p2 hash-joins only Bob.
+    val g = GraphQuery.PersistedGraph(
+      graph.filter("NOT (subj = 'p2' AND pred = 'knows')"), 0, Map.empty)
+    val out = GraphQuery.bgpOptional(g,
+        required = Seq((V("x"), C(TypeP), C("Person"))),
+        optionals = Seq(
+          Seq((V("x"), C("knows"), V("y"))),
+          Seq((V("y"), C("name"), V("n")))))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(
+      ("p1", "p2", "Bob"),                        // bound ?y joins normally
+      ("p2", "p1", "Ann"), ("p2", "p2", "Bob")))  // unbound ?y: compatible with all
+  }
+
+  test("bgpOptional: unmatched row with an unbound var keeps NULLs through the compat join") {
+    // drop p2's knows edge AND all names: group 2 has no solutions at
+    // all, so both the bound and unbound slices keep their rows with ?n
+    // (and p2's ?y) NULL
+    val g = GraphQuery.PersistedGraph(
+      graph.filter("NOT (subj = 'p2' AND pred = 'knows') AND pred <> 'name'"),
+      0, Map.empty)
+    val out = GraphQuery.bgpOptional(g,
+        required = Seq((V("x"), C(TypeP), C("Person"))),
+        optionals = Seq(
+          Seq((V("x"), C("knows"), V("y"))),
+          Seq((V("y"), C("name"), V("n")))))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    assert(out == Set(("p1", "p2", null), ("p2", null, null)))
+  }
+
   test("bgpOptional: a group sharing no variable is refused") {
     val e = intercept[IllegalArgumentException] {
       GraphQuery.bgpOptional(asGraph,
