@@ -23,7 +23,7 @@ object Plans {
       "kg_bgp_person_star", "doc_train_set", "doc_chunks", "doc_source_mixture",
       "doc_pack_seqs", "doc_repetition", "doc_bpe_pairs", "doc_bpe_encode",
       "doc_cross_dedup", "kg_bgp_optional", "kg_bgp_union", "kg_entail_rules",
-      "kg_describe", "kg_bgp_minus", "kg_construct")
+      "kg_describe", "kg_bgp_minus", "kg_construct", "kg_graph_diff")
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plan evidence (explain formatted)\n\n"
     sb ++= "Regenerate with `sbt \"runMain graft.Plans\"`. Things to check per plan:\n"

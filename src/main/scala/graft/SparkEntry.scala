@@ -486,6 +486,20 @@ object SparkEntry {
         .orderBy(col("s"), col("p"), col("o"))
     }),
 
+    // snapshot DIFF between two extractions of the customer KG (old lacks
+    // acctbal, new lacks segment): the incremental-maintenance primitive —
+    // '+' rows are acctbal facts, '-' rows are segment facts, the
+    // unchanged bulk never surfaces
+    "kg_graph_diff" -> ((s, dir) => {
+      val all = customerTriples(s, dir)
+      ExtractPipeline.graphDiff(
+          all.filter(col("pred") =!= "http://schema.org/acctbal"),
+          all.filter(col("pred") =!= "http://schema.org/segment"))
+        .select(col("change"), col("subj").as("s"), col("pred").as("p"),
+          coalesce(col("obj_iri"), col("obj_lexical")).as("o"))
+        .orderBy(col("change"), col("s"), col("p"), col("o"))
+    }),
+
     // ASK (satisfied + unsatisfiable) over the customer graph: the
     // satisfied probe short-circuits via CollectLimit; the absent
     // predicate estimates 0 rows and empties immediately
@@ -1514,6 +1528,19 @@ object SparkEntry {
           |  UNION ALL SELECT 'http://ex.org/customer/' || c_custkey,
           |    'http://schema.org/additionalType', 'http://ex.org/class/Customer' FROM c
           |) t ORDER BY s, p, o""".stripMargin,
+
+      "kg_graph_diff" ->
+        """SELECT change, s, p, o FROM (
+          |  SELECT '+' AS change,
+          |    'http://ex.org/customer/' || c_custkey AS s,
+          |    'http://schema.org/acctbal' AS p,
+          |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS o
+          |  FROM customer WHERE c_custkey % 7 <> 0
+          |  UNION ALL
+          |  SELECT '-', 'http://ex.org/customer/' || c_custkey,
+          |    'http://schema.org/segment', c_mktsegment
+          |  FROM customer WHERE c_custkey % 7 <> 0
+          |) t ORDER BY change, s, p, o""".stripMargin,
 
       "kg_ask" ->
         """SELECT q, ask FROM (

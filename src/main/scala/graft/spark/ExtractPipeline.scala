@@ -97,6 +97,32 @@ object ExtractPipeline {
   def canonicalize(triples: Dataset[Triple]): Dataset[Triple] =
     triples.dropDuplicates(Triple.identityCols)
 
+  /** Snapshot diff — the incremental-maintenance primitive: which triples
+    * does the NEW graph assert that the OLD one didn't (`+`), and which
+    * did the old assert that are now gone (`-`)? Identity is the six
+    * triple-identity columns (lineage excluded, null-safe — literal
+    * triples have null obj_iri); unchanged triples never surface.
+    *
+    * Scale shape: two co-partitioned null-safe anti-joins on the identity
+    * columns (the same key canonicalize shuffles on) plus a metadata-only
+    * union — no driver state, no product. Feeding the `+` rows to
+    * [[writeGraph]]-style dynamic overwrite (or an Iceberg MERGE via the
+    * [[TableIO]] seam) is how a continuously-crawled corpus maintains its
+    * KG without rebuilding it.
+    */
+  def graphDiff(oldTriples: Dataset[Triple], newTriples: Dataset[Triple]): DataFrame = {
+    val cond = Triple.identityCols
+      .map(c => col(s"n.$c") <=> col(s"o.$c")).reduce(_ && _)
+    val idCols = Triple.identityCols.map(col)
+    val added = newTriples.dropDuplicates(Triple.identityCols).as("n")
+      .join(oldTriples.as("o"), cond, "left_anti")
+      .select(lit("+").as("change") +: idCols: _*)
+    val removed = oldTriples.dropDuplicates(Triple.identityCols).as("o")
+      .join(newTriples.as("n"), cond, "left_anti")
+      .select(lit("-").as("change") +: idCols: _*)
+    added.unionByName(removed)
+  }
+
   /** Per-partition lineage + metrics table (north rule observability):
     * which partition produced how many triples from which conversations.
     */

@@ -114,6 +114,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(Entailment.owlEntail(base).count() == 1)
   }
 
+  test("graphDiff: added/removed surface with signs, unchanged and lineage-only changes don't") {
+    val old = Seq(
+      Triple("a", "p", "b", null, null, null, "c1", 0),
+      Triple("a", "q", null, "lit", "dt", null, "c1", 0),
+      Triple("z", "p", "b", null, null, null, "c1", 0)).toDS()
+    val nw = Seq(
+      Triple("a", "p", "b", null, null, null, "c9", 9), // lineage differs: SAME triple
+      Triple("a", "q", null, "lit", "dt", null, "c1", 0),
+      Triple("n", "p", "b", null, null, null, "c2", 1)).toDS()
+    val out = ExtractPipeline.graphDiff(old, nw)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("+", "n"), ("-", "z")))
+  }
+
   test("owlEntail prp-inv: inverseOf swaps subject/object both directions; literals stay out") {
     val base = Seq(
       Triple("http://x/a", "http://x/boss", "http://x/b", null, null, null, "c", 0),
