@@ -486,6 +486,25 @@ object SparkEntry {
         .orderBy(col("s"), col("p"), col("o"))
     }),
 
+    // prp-trp through the FULL entailment surface: reportsTo declared an
+    // owl:TransitiveProperty, so the closure contains every (emp,
+    // ancestor) pair — the entailment-side twin of kg_path_reachable's
+    // explicit path query, checked against the same recursive-CTE oracle
+    "kg_entail_trans" -> ((s, dir) => {
+      import s.implicits._
+      val schema = Seq(
+        Triple("http://schema.org/reportsTo", Entailment.RdfType,
+          Entailment.TransitiveProperty, null, null, null, "schema", -1)).toDS()
+      val g = Entailment.owlEntailWithTransitive(
+        ExtractPipeline.canonicalize(
+          ExtractPipeline.extract(graft.spark.Transcripts.orgChart(s, dir)))
+          .unionByName(schema))
+      g.filter(col("pred") === "http://schema.org/reportsTo" &&
+          col("obj_iri").isNotNull)
+        .select(col("subj").as("emp"), col("obj_iri").as("anc"))
+        .orderBy(col("emp"), col("anc"))
+    }),
+
     // snapshot DIFF between two extractions of the customer KG (old lacks
     // acctbal, new lacks segment): the incremental-maintenance primitive —
     // '+' rows are acctbal facts, '-' rows are segment facts, the
@@ -1528,6 +1547,16 @@ object SparkEntry {
           |  UNION ALL SELECT 'http://ex.org/customer/' || c_custkey,
           |    'http://schema.org/additionalType', 'http://ex.org/class/Customer' FROM c
           |) t ORDER BY s, p, o""".stripMargin,
+
+      "kg_entail_trans" ->
+        """WITH RECURSIVE e AS (
+          |  SELECT 'http://ex.org/emp/' || CAST(c_custkey AS VARCHAR) AS s,
+          |         'http://ex.org/emp/' || CAST(c_custkey // 2 AS VARCHAR) AS o
+          |  FROM customer WHERE c_custkey > 1),
+          |r AS (SELECT s, o FROM e
+          |      UNION
+          |      SELECT r.s, e.o FROM r JOIN e ON r.o = e.s)
+          |SELECT s AS emp, o AS anc FROM r ORDER BY emp, anc""".stripMargin,
 
       "kg_graph_diff" ->
         """SELECT change, s, p, o FROM (

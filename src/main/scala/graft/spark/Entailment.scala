@@ -41,6 +41,7 @@ object Entailment {
   val EquivalentProperty = "http://www.w3.org/2002/07/owl#equivalentProperty"
   val InverseOf = "http://www.w3.org/2002/07/owl#inverseOf"
   val SymmetricProperty = "http://www.w3.org/2002/07/owl#SymmetricProperty"
+  val TransitiveProperty = "http://www.w3.org/2002/07/owl#TransitiveProperty"
   val SubClassOf = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
   val EquivalentClass = "http://www.w3.org/2002/07/owl#equivalentClass"
   val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -184,5 +185,64 @@ object Entailment {
         s"entailment fixpoint not reached in $maxIterations iterations — " +
           "the closure is incomplete; raise maxIterations")
     result
+  }
+
+  /** Full closure INCLUDING prp-trp (owl:TransitiveProperty) — the one
+    * OWL-RL rule the rewrite-edge machinery can't express, because its
+    * antecedent joins FACTS with FACTS (`x p y ∧ y p z ⇒ x p z`), not
+    * facts with a vocabulary-sized edge table.
+    *
+    * Composition: an OUTER fixpoint alternates [[owlEntail]] (all rewrite
+    * rules, semi-naive) with one transitive-closure pass per DECLARED
+    * transitive predicate ([[GraphQuery.pathPlus]] — itself semi-naive
+    * frontier expansion on the predicate's pruned slice). Alternation is
+    * required for correctness, not convenience: a rewrite can derive new
+    * p-edges (e.g. q ⊑ p) that extend p's transitive closure, and a
+    * closure edge can feed rewrites (e.g. p ⊑ r) — each outer round runs
+    * both to quiescence, and the loop exits when a full round derives
+    * nothing. Real schemas settle in 1–2 outer rounds (the bound guards
+    * pathological rule cycles, same THROW-not-truncate stance as the
+    * inner loops).
+    *
+    * Scale: each outer round costs one semi-naive rewrite fixpoint plus,
+    * per transitive predicate, one pathPlus whose per-iteration join is
+    * co-partitioned on the hop column. Declared transitive predicates are
+    * vocabulary-sized (the driver-side collect is a catalog read).
+    */
+  def owlEntailWithTransitive(triples: Dataset[Triple],
+                              maxOuterRounds: Int = 8): Dataset[Triple] = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    var g = owlEntail(triples)
+    var round = 0
+    var grew = true
+    while (grew && round < maxOuterRounds) {
+      round += 1
+      val transPreds = g
+        .filter(col("pred") === RdfType && col("obj_iri") === TransitiveProperty)
+        .select(col("subj")).distinct().collect().map(_.getString(0)).sorted
+      // new transitive edges this round: closure pairs not already asserted
+      val fresh = transPreds.map { p =>
+        val closure = GraphQuery.pathPlus(
+          GraphQuery.PersistedGraph(g.toDF(), 0, Map.empty), p)
+        val existing = g.filter(col("pred") === p && col("obj_iri").isNotNull)
+          .select(col("subj").as("s"), col("obj_iri").as("o"))
+        closure.as("d").join(existing.as("a"),
+            col("d.s") === col("a.s") && col("d.o") === col("a.o"), "left_anti")
+          .select(col("s").as("subj"), lit(p).as("pred"), col("o").as("obj_iri"),
+            lit(null).cast("string").as("obj_lexical"),
+            lit(null).cast("string").as("obj_datatype"),
+            lit(null).cast("string").as("obj_lang"),
+            lit(null).cast("string").as("conv_id"), lit(-1).as("turn_idx"))
+          .as[Triple]
+      }.reduceOption(_ union _).map(_.localCheckpoint())
+      grew = fresh.exists(f => !f.isEmpty)
+      if (grew) g = owlEntail(g.union(fresh.get))
+    }
+    if (grew)
+      throw new IllegalStateException(
+        s"transitive entailment not settled in $maxOuterRounds outer rounds — " +
+          "the closure is incomplete; raise maxOuterRounds")
+    g
   }
 }

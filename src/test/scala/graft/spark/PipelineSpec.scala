@@ -171,6 +171,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(types == Set("http://x/Person", "http://x/Agent", "http://x/Thing"))
   }
 
+  test("owlEntailWithTransitive: rewrite-derived edges feed the transitive closure") {
+    // q ⊑ p with q-edges a→b→c, and p declared transitive: round 1's
+    // rewrite derives the p edges, the closure then adds a→c — the
+    // interaction the outer fixpoint exists for
+    val base = Seq(
+      Triple("a", "q", "b", null, null, null, "c", 0),
+      Triple("b", "q", "c", null, null, null, "c", 0),
+      Triple("q", Entailment.SubPropertyOf, "p", null, null, null, "s", 0),
+      Triple("p", Entailment.RdfType, Entailment.TransitiveProperty,
+        null, null, null, "s", 0)
+    ).toDS()
+    val out = Entailment.owlEntailWithTransitive(base).collect()
+    val pEdges = out.filter(_.pred == "p").map(t => (t.subj, t.obj_iri)).toSet
+    assert(pEdges == Set("a" -> "b", "b" -> "c", "a" -> "c"))
+    // and no spurious q-closure: q is NOT transitive
+    assert(!out.exists(t => t.pred == "q" && t.subj == "a" && t.obj_iri == "c"))
+  }
+
+  test("owlEntailWithTransitive: no transitive declarations degrades to owlEntail") {
+    val base = Seq(
+      Triple("a", "p", "b", null, null, null, "c", 0),
+      Triple("b", "p", "c", null, null, null, "c", 0)).toDS()
+    assert(Entailment.owlEntailWithTransitive(base).count() == 2)
+  }
+
   test("owlEntail cax-eqc: equivalentClass rewrites types in both directions") {
     val base = Seq(
       Triple("http://x/ann", Entailment.RdfType, "http://x/Human", null, null, null, "c", 0),
