@@ -35,6 +35,12 @@ import org.apache.spark.sql.functions.col
   * become the entity selector and the output is every stored triple about
   * the entities `?var` binds to (full obj_iri/obj_lexical/obj_datatype/
   * obj_lang columns) — see [[graft.spark.GraphQuery.describe]].
+  *
+  * `--optional '<pattern>'` (repeatable) adds one single-pattern OPTIONAL
+  * group each; `--minus '<pattern>'` (repeatable) removes bindings an
+  * agreeing pattern solution matches. One of the two per query — the
+  * flat CLI cannot express their nesting order; multi-pattern groups and
+  * mixed composition live on the [[graft.spark.GraphQuery]] API.
   */
 object QueryMain {
 
@@ -60,8 +66,9 @@ object QueryMain {
     * without owning JVM exit/session lifecycle.
     */
   def run(args: Array[String], spark: SparkSession): Long = {
-    val (opts, patternStrs) = CliArgs.parse(args, flags = Set("entail"),
-      repeatKey = Some("pattern"), required = Seq("output"))
+    val (opts, reps) = CliArgs.parseMulti(args, flags = Set("entail"),
+      repeatKeys = Set("pattern", "optional", "minus"), required = Seq("output"))
+    val patternStrs = reps.getOrElse("pattern", Vector.empty)
     require(patternStrs.nonEmpty, "at least one --pattern is required")
     require(opts.contains("graph") ^ opts.contains("table"),
       "exactly one of --graph <dir> or --table <name> is required")
@@ -87,9 +94,24 @@ object QueryMain {
           .toDF().localCheckpoint()
         GraphQuery.PersistedGraph(expanded, 0, GraphQuery.predStats(expanded))
       } else g0
+    val optGroups = reps.getOrElse("optional", Vector.empty).map(p => Seq(parsePattern(p)))
+    val minusGroups = reps.getOrElse("minus", Vector.empty).map(p => Seq(parsePattern(p)))
     val out: DataFrame = opts.get("describe") match {
-      case Some(v) => GraphQuery.describe(g, patterns, v.stripPrefix("?"))
-      case None => GraphQuery.bgp(g, patterns)
+      case Some(v) =>
+        require(optGroups.isEmpty && minusGroups.isEmpty,
+          "--describe composes with --pattern only (the patterns are the selector)")
+        GraphQuery.describe(g, patterns, v.stripPrefix("?"))
+      case None =>
+        var df =
+          if (optGroups.nonEmpty) GraphQuery.bgpOptional(g, patterns, optGroups)
+          else GraphQuery.bgp(g, patterns)
+        if (minusGroups.nonEmpty) {
+          require(optGroups.isEmpty,
+            "--optional and --minus cannot combine in one CLI query (the " +
+              "API composes them; the flat CLI cannot express the nesting order)")
+          df = GraphQuery.bgpMinus(g, patterns, minusGroups)
+        }
+        df
     }
     val rows = graft.spark.ExtractPipeline.writeCounted(out,
       _.write.mode("overwrite").parquet(opts("output")))

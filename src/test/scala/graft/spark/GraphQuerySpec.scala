@@ -198,6 +198,23 @@ class GraphQuerySpec extends AnyFunSuite {
       .collect().map(_.getString(1)).toSet
     assert(preds == Set("http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
       "http://schema.org/name", "http://schema.org/nation"))
+    // --optional: n1 is a Country with a name but nothing reports to it —
+    // the row survives with the optional binding NULL
+    val n6 = graft.QueryMain.run(Array(
+      "--graph", s"$base/graph", "--output", s"$base/out6",
+      "--pattern", "?e <http://schema.org/name> ?n",
+      "--optional", "?e <http://schema.org/nation> ?nat"), spark)
+    assert(n6 == 2L) // p1 (with nation) and n1 (NULL nation)
+    val optRows = spark.read.parquet(s"$base/out6")
+      .collect().map(r => (r.getString(0), r.isNullAt(2))).toMap
+    assert(!optRows("http://x/p1") && optRows("http://x/n1"))
+    // --minus: drop entities that have a nation
+    val n7 = graft.QueryMain.run(Array(
+      "--graph", s"$base/graph", "--output", s"$base/out7",
+      "--pattern", "?e <http://schema.org/name> ?n",
+      "--minus", "?e <http://schema.org/nation> ?nat"), spark)
+    assert(n7 == 1L)
+    assert(spark.read.parquet(s"$base/out7").collect().head.getString(0) == "http://x/n1")
   }
 
   test("subject-star BGP over the bucketed table: ZERO Exchange, results equal plain-frame bgp") {
