@@ -207,39 +207,72 @@ object Entailment {
     * Scale: each outer round costs one semi-naive rewrite fixpoint plus,
     * per transitive predicate, one pathPlus whose per-iteration join is
     * co-partitioned on the hop column. Declared transitive predicates are
-    * vocabulary-sized (the driver-side collect is a catalog read).
+    * vocabulary-sized (the driver-side collect is a catalog read). The
+    * quiescence check exploits closure idempotence: after a round's
+    * closure edges are unioned in, the transitive slices ARE transitively
+    * closed — so the loop exits as soon as the rewrite fixpoint
+    * introduces no further edge on a transitive predicate (one anti-join,
+    * not a second full pathPlus; the common no-interplay schema settles
+    * with exactly one closure pass).
     */
   def owlEntailWithTransitive(triples: Dataset[Triple],
                               maxOuterRounds: Int = 8): Dataset[Triple] = {
     val spark = triples.sparkSession
     import spark.implicits._
+
+    def transSlice(ds: Dataset[Triple], preds: Seq[String]): DataFrame =
+      ds.filter(col("pred").isin(preds: _*) && col("obj_iri").isNotNull)
+        .select(col("pred").as("p"), col("subj").as("s"), col("obj_iri").as("o"))
+
     var g = owlEntail(triples)
     var round = 0
-    var grew = true
-    while (grew && round < maxOuterRounds) {
+    var settled = false
+    while (!settled && round < maxOuterRounds) {
       round += 1
       val transPreds = g
         .filter(col("pred") === RdfType && col("obj_iri") === TransitiveProperty)
-        .select(col("subj")).distinct().collect().map(_.getString(0)).sorted
-      // new transitive edges this round: closure pairs not already asserted
-      val fresh = transPreds.map { p =>
-        val closure = GraphQuery.pathPlus(
-          GraphQuery.PersistedGraph(g.toDF(), 0, Map.empty), p)
-        val existing = g.filter(col("pred") === p && col("obj_iri").isNotNull)
-          .select(col("subj").as("s"), col("obj_iri").as("o"))
-        closure.as("d").join(existing.as("a"),
-            col("d.s") === col("a.s") && col("d.o") === col("a.o"), "left_anti")
-          .select(col("s").as("subj"), lit(p).as("pred"), col("o").as("obj_iri"),
-            lit(null).cast("string").as("obj_lexical"),
-            lit(null).cast("string").as("obj_datatype"),
-            lit(null).cast("string").as("obj_lang"),
-            lit(null).cast("string").as("conv_id"), lit(-1).as("turn_idx"))
-          .as[Triple]
-      }.reduceOption(_ union _).map(_.localCheckpoint())
-      grew = fresh.exists(f => !f.isEmpty)
-      if (grew) g = owlEntail(g.union(fresh.get))
+        .select(col("subj")).distinct().collect().map(_.getString(0)).sorted.toSeq
+      if (transPreds.isEmpty) { settled = true }
+      else {
+        // new transitive edges this round: closure pairs not yet asserted
+        val fresh = transPreds.map { p =>
+          val closure = GraphQuery.pathPlus(
+            GraphQuery.PersistedGraph(g.toDF(), 0, Map.empty), p)
+          val existing = g.filter(col("pred") === p && col("obj_iri").isNotNull)
+            .select(col("subj").as("s"), col("obj_iri").as("o"))
+          closure.as("d").join(existing.as("a"),
+              col("d.s") === col("a.s") && col("d.o") === col("a.o"), "left_anti")
+            .select(col("s").as("subj"), lit(p).as("pred"), col("o").as("obj_iri"),
+              lit(null).cast("string").as("obj_lexical"),
+              lit(null).cast("string").as("obj_datatype"),
+              lit(null).cast("string").as("obj_lang"),
+              lit(null).cast("string").as("conv_id"), lit(-1).as("turn_idx"))
+            .as[Triple]
+        }.reduce(_ union _).localCheckpoint()
+        if (fresh.isEmpty) settled = true
+        else {
+          val before = transSlice(g, transPreds)
+            .unionByName(fresh.select(col("pred").as("p"), col("subj").as("s"),
+              col("obj_iri").as("o")))
+          g = owlEntail(g.union(fresh))
+          // closed-by-construction check: did the rewrite fixpoint add any
+          // transitive-pred edge BEYOND the closure we just unioned? If
+          // not, those slices are transitively closed — quiescent.
+          val beyond = transSlice(g, transPreds).as("d")
+            .join(before.as("a"),
+              col("d.p") === col("a.p") && col("d.s") === col("a.s") &&
+                col("d.o") === col("a.o"), "left_anti")
+          // ... and did it declare a NEW transitive predicate? (A rewrite
+          // can derive rdf:type TransitiveProperty facts; a fresh
+          // declaration needs its own closure pass next round.)
+          val newDecls = g
+            .filter(col("pred") === RdfType && col("obj_iri") === TransitiveProperty)
+            .filter(!col("subj").isin(transPreds: _*))
+          settled = beyond.isEmpty && newDecls.isEmpty
+        }
+      }
     }
-    if (grew)
+    if (!settled)
       throw new IllegalStateException(
         s"transitive entailment not settled in $maxOuterRounds outer rounds — " +
           "the closure is incomplete; raise maxOuterRounds")
