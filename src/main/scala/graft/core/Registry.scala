@@ -71,14 +71,14 @@ object RegistryIndex {
     */
   def fromJson(json: String): RegistryIndex = {
     val root = new ObjectMapper().readTree(json)
-    val entries = root.fields().asScala.flatMap { e =>
+    val entries = root.properties().asScala.flatMap { e =>
       val (prefix, node) = (e.getKey, e.getValue)
       if (!node.isObject) None // e.g. "@comment" strings are skipped
       else {
         val propsNode = node.get("properties")
         val props: Map[String, Vector[String]] =
           if (propsNode == null || !propsNode.isObject) Map.empty
-          else propsNode.fields().asScala.flatMap { p =>
+          else propsNode.properties().asScala.flatMap { p =>
             val spec = p.getValue
             if (!spec.isObject) None
             else {

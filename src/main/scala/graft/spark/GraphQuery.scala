@@ -99,7 +99,7 @@ object GraphQuery {
           val statsNode = root.get("pred_stats")
           val stats =
             if (statsNode != null && statsNode.isObject)
-              statsNode.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+              statsNode.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
             else predStats(df)
           PersistedGraph(df, buckets, stats)
         }.toOption
@@ -135,7 +135,7 @@ object GraphQuery {
       val props = spark.sessionState.catalog.getTableMetadata(ident).properties
       props.get(graft.spark.ExtractPipeline.PredStatsProperty).map { json =>
         new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-          .fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+          .properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
       }
     }.toOption.flatten
     PersistedGraph(df, 0, stats.getOrElse(predStats(df)))
