@@ -37,3 +37,9 @@ rm -rf "$OUT/bindings"
 "$SPARK_SUBMIT" --master "$MASTER" --class graft.QueryMain "$JAR" \
   --graph "$OUT/graph" --output "$OUT/bindings" --show 3 \
   --pattern '?s <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ?t' 2>/dev/null | tail -5
+
+echo "== DESCRIBE one entity's full triple set (QueryMain --describe) =="
+rm -rf "$OUT/described"
+"$SPARK_SUBMIT" --master "$MASTER" --class graft.QueryMain "$JAR" \
+  --graph "$OUT/graph" --output "$OUT/described" --describe '?s' --show 5 \
+  --pattern '?s <http://schema.org/name> "Person 44"' 2>/dev/null | tail -7

@@ -443,7 +443,10 @@ object GraphQuery {
     // layout columns like pred_bucket stay internal
     val cols = Seq("subj", "pred", "obj_iri", "obj_lexical",
       "obj_datatype", "obj_lang").filter(g.df.columns.contains)
-    g.df.join(entities, Seq("subj"), "left_semi").select(cols.map(col): _*)
+    // set semantics like [[bgp]]: a lineage-keeping table stores one row
+    // per witness turn; the DESCRIBED graph is a set of triples
+    g.df.join(entities, Seq("subj"), "left_semi")
+      .select(cols.map(col): _*).distinct()
   }
 
   /** UNION of basic graph patterns (the SPARQL UNION analog): each branch
