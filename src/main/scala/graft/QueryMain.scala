@@ -102,16 +102,12 @@ object QueryMain {
           "--describe composes with --pattern only (the patterns are the selector)")
         GraphQuery.describe(g, patterns, v.stripPrefix("?"))
       case None =>
-        var df =
-          if (optGroups.nonEmpty) GraphQuery.bgpOptional(g, patterns, optGroups)
-          else GraphQuery.bgp(g, patterns)
-        if (minusGroups.nonEmpty) {
-          require(optGroups.isEmpty,
-            "--optional and --minus cannot combine in one CLI query (the " +
-              "API composes them; the flat CLI cannot express the nesting order)")
-          df = GraphQuery.bgpMinus(g, patterns, minusGroups)
-        }
-        df
+        require(optGroups.isEmpty || minusGroups.isEmpty,
+          "--optional and --minus cannot combine in one CLI query (the " +
+            "API composes them; the flat CLI cannot express the nesting order)")
+        if (minusGroups.nonEmpty) GraphQuery.bgpMinus(g, patterns, minusGroups)
+        else if (optGroups.nonEmpty) GraphQuery.bgpOptional(g, patterns, optGroups)
+        else GraphQuery.bgp(g, patterns)
     }
     val rows = graft.spark.ExtractPipeline.writeCounted(out,
       _.write.mode("overwrite").parquet(opts("output")))
