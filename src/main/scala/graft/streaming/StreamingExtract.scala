@@ -53,6 +53,45 @@ object StreamingExtract {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("text_md5")
 
+  /** CONTINUOUS KG materialization — the streaming twin of
+    * [[ExtractPipeline.writeGraph]]: sink a triple stream into the
+    * pred_bucket parquet layout, one dynamic-partition-overwrite write per
+    * micro-batch.
+    *
+    * Exactly-once at rest: every batch writes under its own
+    * `batch_id=<id>` partition, so a replayed batch (foreachBatch is
+    * at-least-once) OVERWRITES exactly the partitions its first attempt
+    * wrote — idempotent, no dedup pass needed. `pred_bucket` nests inside,
+    * so constant-predicate queries still prune partitions; the layout
+    * metadata (bucket count, no stats — they'd go stale per batch) is
+    * (re)written through the [[graft.spark.TableIO]] seam, and
+    * [[graft.spark.GraphQuery.loadGraph]] reads the dir like any other
+    * graph (stats by one-pass scan). Long-running streams accumulate
+    * batch_id partitions; compact by rewriting through
+    * [[ExtractPipeline.writeGraph]] at rest when the count grows
+    * unwieldy.
+    */
+  def sinkToGraph(triples: Dataset[Triple], outDir: String, checkpointDir: String,
+                  predBuckets: Int = 16,
+                  io: graft.spark.TableIO = graft.spark.TableIO.default)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    triples.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Triple], batchId: Long) =>
+        val spark = batch.sparkSession
+        batch.dropDuplicates(Triple.identityCols)
+          .withColumn("batch_id", lit(batchId))
+          .withColumn("pred_bucket", pmod(hash(col("pred")), lit(predBuckets)))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "pred_bucket")
+          .parquet(outDir)
+        val json = s"""{"pred_buckets": $predBuckets}"""
+        io.writeMetadata(spark, outDir, ExtractPipeline.LayoutFile, json + "\n")
+      }
+      .start()
+
   // ---- stateful sessionization (custom per-key state) ----
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)

@@ -85,6 +85,31 @@ class ComponentsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("Streaming sinkToGraph materializes a queryable pred_bucket graph") {
+    val dir = Files.createTempDirectory("graftsink_in").toString
+    val out = Files.createTempDirectory("graftsink_out").toString
+    val cp = Files.createTempDirectory("graftsink_cp").toString
+    Transcripts.synthetic(spark, 120, 6).write.mode("overwrite").parquet(dir)
+
+    val q = graft.streaming.StreamingExtract.sinkToGraph(
+      StreamingExtract.extractStream(spark, dir), s"$out/graph", cp, predBuckets = 8)
+    q.processAllAvailable()
+    q.stop()
+
+    // the sunk graph answers the same BGP as batch extraction of the input
+    val g = graft.spark.GraphQuery.loadGraph(spark, s"$out/graph")
+    assert(g.predBuckets == 8) // layout metadata survived the streaming write
+    import graft.spark.GraphQuery.{C, V}
+    val streamed = graft.spark.GraphQuery.bgp(g, Seq(
+        (V("s"), C("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"), V("t"))))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val batch = ExtractPipeline.extract(spark.read.parquet(dir)).toDF()
+    val expected = graft.spark.GraphQuery.bgp(batch, Seq(
+        (V("s"), C("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"), V("t"))))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(streamed == expected && streamed.nonEmpty)
+  }
+
   test("Streaming windowed conv counts run with watermark") {
     val dir = Files.createTempDirectory("graftstream2").toString
     Transcripts.synthetic(spark, 100, 5).write.mode("overwrite").parquet(dir)
