@@ -77,7 +77,7 @@ object ExtractMain {
       val triples = ExtractPipeline.canonicalize(
         ExtractPipeline.extract(transcripts, registry,
           opts.getOrElse("base-prefix", null), errors))
-      if (opts.contains("entail")) Entailment.owlEntail(triples) else triples
+      if (opts.contains("entail")) Entailment.owlEntailWithTransitive(triples) else triples
     }
 
     val t0 = System.nanoTime()

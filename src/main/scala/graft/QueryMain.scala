@@ -87,7 +87,7 @@ object QueryMain {
     val g =
       if (opts.contains("entail")) {
         import spark.implicits._
-        val expanded = graft.spark.Entailment.owlEntail(
+        val expanded = graft.spark.Entailment.owlEntailWithTransitive(
             g0.df.select(col("subj"), col("pred"), col("obj_iri"),
               col("obj_lexical"), col("obj_datatype"), col("obj_lang"),
               col("conv_id"), col("turn_idx")).as[graft.model.Triple])
@@ -116,7 +116,7 @@ object QueryMain {
       println(bindings.columns.mkString("\t"))
       // deterministic display: parquet row order is whatever the writer's
       // tasks committed, so sort by the binding columns before limiting
-      bindings.orderBy(bindings.columns.map(col): _*).limit(k.toInt).collect()
+      bindings.orderBy(bindings.columns.toIndexedSeq.map(col): _*).limit(k.toInt).collect()
         .foreach(r => println(r.toSeq.map(String.valueOf).mkString("\t")))
     }
     rows

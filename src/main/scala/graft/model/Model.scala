@@ -48,6 +48,15 @@ object Triple {
   /** Columns that define triple identity (lineage excluded). */
   val identityCols: Seq[String] =
     Seq("subj", "pred", "obj_iri", "obj_lexical", "obj_datatype", "obj_lang")
+
+  /** Null-safe identity equality between two aliased frames — the ONE
+    * definition every identity join/anti-join shares (entailment novelty,
+    * graph diff), so a change to [[identityCols]] cannot drift.
+    */
+  def identityCond(leftAlias: String, rightAlias: String): org.apache.spark.sql.Column =
+    identityCols.map(c =>
+      org.apache.spark.sql.functions.col(s"$leftAlias.$c") <=>
+        org.apache.spark.sql.functions.col(s"$rightAlias.$c")).reduce(_ && _)
 }
 
 /** An RDF term produced by extraction (row-local, pre-Spark). */

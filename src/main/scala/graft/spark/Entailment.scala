@@ -118,8 +118,7 @@ object Entailment {
   def owlEntail(triples: Dataset[Triple], maxIterations: Int = 20): Dataset[Triple] = {
     val spark = triples.sparkSession
     import spark.implicits._
-    val antiCond = Triple.identityCols
-      .map(c => col(s"d.$c") <=> col(s"a.$c")).reduce(_ && _)
+    val antiCond = Triple.identityCond("d", "a")
 
     // the slice a derived triple can collide with: pred/inv rewrites land
     // on a target PREDICATE; class rewrites land on rdf:type facts whose
@@ -216,7 +215,8 @@ object Entailment {
     * with exactly one closure pass).
     */
   def owlEntailWithTransitive(triples: Dataset[Triple],
-                              maxOuterRounds: Int = 8): Dataset[Triple] = {
+                              maxOuterRounds: Int = 8,
+                              maxPathIterations: Int = 64): Dataset[Triple] = {
     val spark = triples.sparkSession
     import spark.implicits._
 
@@ -237,7 +237,8 @@ object Entailment {
         // new transitive edges this round: closure pairs not yet asserted
         val fresh = transPreds.map { p =>
           val closure = GraphQuery.pathPlus(
-            GraphQuery.PersistedGraph(g.toDF(), 0, Map.empty), p)
+            GraphQuery.PersistedGraph(g.toDF(), 0, Map.empty), p,
+            maxIterations = maxPathIterations)
           val existing = g.filter(col("pred") === p && col("obj_iri").isNotNull)
             .select(col("subj").as("s"), col("obj_iri").as("o"))
           closure.as("d").join(existing.as("a"),

@@ -111,8 +111,7 @@ object ExtractPipeline {
     * KG without rebuilding it.
     */
   def graphDiff(oldTriples: Dataset[Triple], newTriples: Dataset[Triple]): DataFrame = {
-    val cond = Triple.identityCols
-      .map(c => col(s"n.$c") <=> col(s"o.$c")).reduce(_ && _)
+    val cond = Triple.identityCond("n", "o")
     val idCols = Triple.identityCols.map(col)
     val added = newTriples.dropDuplicates(Triple.identityCols).as("n")
       .join(oldTriples.as("o"), cond, "left_anti")

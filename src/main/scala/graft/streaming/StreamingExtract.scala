@@ -74,23 +74,28 @@ object StreamingExtract {
   def sinkToGraph(triples: Dataset[Triple], outDir: String, checkpointDir: String,
                   predBuckets: Int = 16,
                   io: graft.spark.TableIO = graft.spark.TableIO.default)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // metadata ONCE, before the stream starts: its content is constant
+    // ({"pred_buckets": N} — no stats, they'd go stale per batch), and a
+    // per-batch rewrite would open a delete→rename window where concurrent
+    // loadGraph readers silently lose pruning
+    io.writeMetadata(triples.sparkSession, outDir, ExtractPipeline.LayoutFile,
+      s"""{"pred_buckets": $predBuckets}""" + "\n")
     triples.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Triple], batchId: Long) =>
-        val spark = batch.sparkSession
-        batch.dropDuplicates(Triple.identityCols)
-          .withColumn("batch_id", lit(batchId))
-          .withColumn("pred_bucket", pmod(hash(col("pred")), lit(predBuckets)))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id", "pred_bucket")
-          .parquet(outDir)
-        val json = s"""{"pred_buckets": $predBuckets}"""
-        io.writeMetadata(spark, outDir, ExtractPipeline.LayoutFile, json + "\n")
+        // data rides the SAME TableIO seam as every batch writer — an
+        // Iceberg binding must not end up with metadata in the table but
+        // triples in a stray parquet dir
+        io.overwritePartitions(
+          batch.dropDuplicates(Triple.identityCols)
+            .withColumn("batch_id", lit(batchId))
+            .withColumn("pred_bucket", pmod(hash(col("pred")), lit(predBuckets))),
+          outDir, Seq("batch_id", "pred_bucket"))
       }
       .start()
+  }
 
   // ---- stateful sessionization (custom per-key state) ----
 
