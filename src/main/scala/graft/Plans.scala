@@ -39,10 +39,16 @@ object Plans {
     sb ++= "entries. The sim_ivf_topk assignment stage is the m>128 broadcast\n"
     sb ++= "path: the ONLY broadcast build side is the bounded centroid model.\n"
     sb ++= "The ITERATIVE graph ops (kg_path_reachable's semi-naive frontier,\n"
-    sb ++= "kg_pagerank's power iteration) checkpoint per iteration, so their\n"
-    sb ++= "final plans are unions/scans of checkpointed RDDs; their per-\n"
-    sb ++= "iteration join shape is a co-partitioned equi-join documented in\n"
-    sb ++= "GraphQuery.pathPlus / GraphRank.pagerank scaladoc.\n\n"
+    sb ++= "kg_pagerank's power iteration, kg_entail_trans's outer fixpoint)\n"
+    sb ++= "checkpoint per iteration, so their final plans are unions/scans of\n"
+    sb ++= "checkpointed RDDs; their per-iteration join shape is a co-partitioned\n"
+    sb ++= "equi-join documented in GraphQuery.pathPlus / GraphRank.pagerank /\n"
+    sb ++= "Entailment.owlEntailWithTransitive scaladoc. Of the query-form plans:\n"
+    sb ++= "kg_bgp_union's branches broadcast-join independently off pruned scans\n"
+    sb ++= "(the union itself is metadata-only, the distinct is the one shuffle\n"
+    sb ++= "set semantics demand); kg_bgp_minus/kg_describe end in an anti-/semi-\n"
+    sb ++= "join whose SMALL side is the selective binding set (AQE broadcasts\n"
+    sb ++= "it at runtime — the static dump shows the SMJ fallback shape).\n\n"
     names.foreach { n =>
       sb ++= s"## $n\n\n```\n"
       val df = SparkEntry.queries(n)(spark, dir)
