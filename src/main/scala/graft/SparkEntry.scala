@@ -486,6 +486,18 @@ object SparkEntry {
         .orderBy(col("s"), col("p"), col("o"))
     }),
 
+    // aggregation over BGP bindings (the SPARQL GROUP BY / COUNT analog):
+    // bindings are a DataFrame, so aggregates COMPOSE — no bespoke
+    // operator, and the partial-agg/shuffle shape is Catalyst's own
+    "kg_bgp_agg" -> ((s, dir) => {
+      import graft.spark.GraphQuery.{C, V}
+      graft.spark.GraphQuery.bgp(persistedCustomerGraph(s, dir), Seq(
+          (V("c"), C(RdfType), C("http://schema.org/Person")),
+          (V("c"), C("http://schema.org/nation"), V("nat"))))
+        .groupBy(col("nat")).agg(count(lit(1)).as("n_members"))
+        .orderBy(col("nat"))
+    }),
+
     // prp-trp through the FULL entailment surface: reportsTo declared an
     // owl:TransitiveProperty, so the closure contains every (emp,
     // ancestor) pair — the entailment-side twin of kg_path_reachable's
@@ -1547,6 +1559,12 @@ object SparkEntry {
           |  UNION ALL SELECT 'http://ex.org/customer/' || c_custkey,
           |    'http://schema.org/additionalType', 'http://ex.org/class/Customer' FROM c
           |) t ORDER BY s, p, o""".stripMargin,
+
+      "kg_bgp_agg" ->
+        """SELECT 'http://ex.org/nation/' || CAST(c_nationkey AS VARCHAR) AS nat,
+          |  count(*) AS n_members
+          |FROM customer WHERE c_custkey % 7 <> 0
+          |GROUP BY 1 ORDER BY nat""".stripMargin,
 
       "kg_entail_trans" ->
         """WITH RECURSIVE e AS (
