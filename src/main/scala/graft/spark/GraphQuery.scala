@@ -498,11 +498,24 @@ object GraphQuery {
     * Hitting `maxIterations` with a live frontier THROWS: a silently
     * truncated closure is wrong answers, not a degraded mode.
     */
-  def pathPlus(g: PersistedGraph, pred: String, maxIterations: Int = 64): DataFrame = {
-    var slice = g.df.filter(col("pred") === pred && col("obj_iri").isNotNull)
+  def pathPlus(g: PersistedGraph, pred: String, maxIterations: Int = 64): DataFrame =
+    pathPlusAlt(g, Seq(pred), maxIterations)
+
+  /** `(p1|p2|…)+` — transitive closure over the UNION of several
+    * predicates' edge slices (the SPARQL alternation-under-closure path,
+    * e.g. `(reportsTo|managedBy)+`): a hop may take any listed predicate.
+    * Same semi-naive machinery as the single-predicate form; the edge
+    * slice is one pushed `pred IN (…)` scan, with partition pruning
+    * through an `IN` over the constant-folded bucket hashes.
+    */
+  def pathPlusAlt(g: PersistedGraph, preds: Seq[String],
+                  maxIterations: Int = 64): DataFrame = {
+    require(preds.nonEmpty, "empty predicate alternation")
+    var slice = g.df.filter(col("pred").isin(preds: _*) && col("obj_iri").isNotNull)
     if (g.predBuckets > 0 && g.df.columns.contains("pred_bucket"))
-      slice = slice.filter(
-        col("pred_bucket") === pmod(hash(lit(pred)), lit(g.predBuckets)))
+      slice = slice.filter(preds
+        .map(p => col("pred_bucket") === pmod(hash(lit(p)), lit(g.predBuckets)))
+        .reduce(_ || _)) // each side folds to a literal → partition filter
     val edges = slice.select(col("subj").as("e_s"), col("obj_iri").as("e_o"))
       .distinct().localCheckpoint()
     var deltas = List(edges.select(col("e_s").as("s"), col("e_o").as("o")))
@@ -525,7 +538,7 @@ object GraphQuery {
     }
     if (frontierLive)
       throw new IllegalStateException(
-        s"pathPlus($pred) frontier still live after $maxIterations iterations " +
+        s"pathPlus(${preds.mkString("|")}) frontier still live after $maxIterations iterations " +
           "— raise maxIterations; a truncated closure would be silently wrong")
     deltas.reduce(_ union _)
   }

@@ -420,6 +420,18 @@ class GraphQuerySpec extends AnyFunSuite {
     assert(e.getMessage.contains("frontier still live"))
   }
 
+  test("pathPlusAlt: a hop may take any listed predicate, others stay out") {
+    val df = Seq(
+      ("a", "boss", "b", null: String),
+      ("b", "deputy", "c", null: String),  // alternation bridges boss→deputy
+      ("c", "knows", "d", null: String))   // knows is NOT listed
+      .toDF("subj", "pred", "obj_iri", "obj_lexical")
+    val out = GraphQuery.pathPlusAlt(
+        GraphQuery.PersistedGraph(df, 0, Map.empty), Seq("boss", "deputy"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set("a" -> "b", "b" -> "c", "a" -> "c"))
+  }
+
   test("pathPlus: other predicates never leak into the closure") {
     val df = Seq(
       ("a", "boss", "b", null: String),
