@@ -595,6 +595,35 @@ class GraphQuerySpec extends AnyFunSuite {
     assert(e.getMessage.contains("not bound"))
   }
 
+  test("describe: lineage-duplicate rows collapse (set semantics over a resumed table)") {
+    // the same triple stored twice with different witness lineage — the
+    // shape a Resume-written or streaming-sunk table holds
+    val df = Seq(
+      ("p1", "name", null: String, "Ann"),
+      ("p1", "name", null: String, "Ann"),
+      ("p1", "knows", "p2", null: String))
+      .toDF("subj", "pred", "obj_iri", "obj_lexical")
+    val out = GraphQuery.describe(GraphQuery.PersistedGraph(df, 0, Map.empty),
+        Seq((V("x"), C("knows"), C("p2"))), entityVar = "x")
+      .collect()
+    assert(out.length == 2) // name once, knows once
+  }
+
+  test("bgpUnion: an empty branch contributes nothing, the union still solves") {
+    val out = GraphQuery.bgpUnion(asGraph, Seq(
+        Seq((V("x"), C("no-such-pred"), V("y"))),
+        Seq((V("x"), C(TypeP), C("Doc")))))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("d1"))
+  }
+
+  test("construct: an empty binding set yields an empty frame, not an error") {
+    val out = GraphQuery.construct(asGraph,
+      patterns = Seq((V("x"), C("no-such-pred"), V("y"))),
+      template = Seq((V("x"), C("p"), V("y"))))
+    assert(out.isEmpty)
+  }
+
   test("bgpUnion: a variable bound in one branch is NULL in the others") {
     val out = GraphQuery.bgpUnion(asGraph, Seq(
         Seq((V("x"), C(TypeP), C("Doc"))),
