@@ -110,6 +110,44 @@ class ComponentsSpec extends AnyFunSuite {
     assert(streamed == expected && streamed.nonEmpty)
   }
 
+  test("Streaming sinkToGraph restart from checkpoint adds only the new batch, no duplicates") {
+    val dir = Files.createTempDirectory("graftsink2_in").toString
+    val out = Files.createTempDirectory("graftsink2_out").toString
+    val cp = Files.createTempDirectory("graftsink2_cp").toString
+    Transcripts.synthetic(spark, 60, 4).write.parquet(s"$dir/b1")
+
+    def runStream(): Unit = {
+      val q = graft.streaming.StreamingExtract.sinkToGraph(
+        StreamingExtract.extractStream(spark, s"$dir/*"), s"$out/graph", cp, predBuckets = 4)
+      q.processAllAvailable(); q.stop()
+    }
+    runStream() // first life: batch 1 only
+    val afterFirst = spark.read.parquet(s"$out/graph").count()
+    assert(afterFirst > 0)
+
+    // second life: NO new input — a checkpoint resume must reprocess and
+    // add NOTHING
+    runStream()
+    assert(spark.read.parquet(s"$out/graph").count() == afterFirst)
+
+    // third life: genuinely new turns land (disjoint id range — synthetic
+    // is deterministic per id, so exceptAll carves ids 60..259), the SAME
+    // checkpoint resumes — old batches must not be re-extracted
+    Transcripts.synthetic(spark, 260, 4).exceptAll(Transcripts.synthetic(spark, 60, 4))
+      .write.parquet(s"$dir/b2")
+    runStream()
+    val rows = spark.read.parquet(s"$out/graph")
+    // exactly-once at rest: per-(identity, lineage) rows are unique
+    assert(rows.count() ==
+      rows.dropDuplicates(graft.model.Triple.identityCols ++ Seq("conv_id", "turn_idx")).count())
+    // and the sunk set equals the batch extraction of ALL input files
+    val batchAll = ExtractPipeline.extract(spark.read.parquet(s"$dir/*"))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("subj", "pred", "obj_iri", "obj_lexical", "conv_id", "turn_idx")
+      .collect().map(_.toSeq).toSet
+    assert(key(rows) == key(batchAll.toDF()))
+  }
+
   test("Streaming windowed conv counts run with watermark") {
     val dir = Files.createTempDirectory("graftstream2").toString
     Transcripts.synthetic(spark, 100, 5).write.mode("overwrite").parquet(dir)
