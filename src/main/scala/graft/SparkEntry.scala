@@ -454,6 +454,54 @@ object SparkEntry {
         .orderBy(col("emp"), col("mgr"))
     }),
 
+    // property-path SEQUENCE with a closure inside (reportsTo+/name): the
+    // names of every transitive manager per employee — Plus's semi-naive
+    // fixpoint feeding a hop join into the literal-terminal name step,
+    // against the recursive-CTE-plus-name-join oracle
+    "kg_path_mgr_names" -> ((s, dir) => {
+      import graft.spark.GraphQuery.Path
+      val g = persistedGraph(s, "org|" + dir)(
+        ExtractPipeline.canonicalize(
+          ExtractPipeline.extract(graft.spark.Transcripts.orgChart(s, dir))))
+      graft.spark.GraphQuery.evalPath(g,
+          Path.Chain(Seq(Path.Plus(Path.P("http://schema.org/reportsTo")),
+            Path.P("http://schema.org/name"))))
+        .select(col("s").as("emp"), col("o").as("mgr_name"))
+        .orderBy(col("emp"), col("mgr_name"))
+    }),
+
+    // zero-or-more path with a BOUND source (emp/13 reportsTo* ?anc): the
+    // closure explores only the reachable cone — 13→6→3→1 — plus the
+    // zero-length self pair; at 100 TB this never materializes the full
+    // closure, only one root-to-leaf chain
+    "kg_path_star_bound" -> ((s, dir) => {
+      import graft.spark.GraphQuery.{C, V, Path}
+      val g = persistedGraph(s, "org|" + dir)(
+        ExtractPipeline.canonicalize(
+          ExtractPipeline.extract(graft.spark.Transcripts.orgChart(s, dir))))
+      graft.spark.GraphQuery.bgpWithPaths(g, Nil,
+          Seq((C("http://ex.org/emp/13"),
+            Path.Star(Path.P("http://schema.org/reportsTo")), V("anc"))))
+        .orderBy(col("anc"))
+    }),
+
+    // inverse step inside a sequence, joined with a triple pattern
+    // (reportsTo/^reportsTo = colleagues sharing a manager, self included):
+    // the path frame and the name pattern meet in the selectivity-greedy
+    // join on ?e
+    "kg_path_peers" -> ((s, dir) => {
+      import graft.spark.GraphQuery.{C, V, Path}
+      val g = persistedGraph(s, "org|" + dir)(
+        ExtractPipeline.canonicalize(
+          ExtractPipeline.extract(graft.spark.Transcripts.orgChart(s, dir))))
+      graft.spark.GraphQuery.bgpWithPaths(g,
+          patterns = Seq((V("e"), C("http://schema.org/name"), V("en"))),
+          pathPatterns = Seq((V("e"),
+            Path.Chain(Seq(Path.P("http://schema.org/reportsTo"),
+              Path.Inv(Path.P("http://schema.org/reportsTo")))), V("peer"))))
+        .orderBy(col("e"), col("peer"))
+    }),
+
     // OPTIONAL group over the org graph: every employee binds name; the
     // root (custkey 1) has no reportsTo, so its mgr surfaces as NULL
     // instead of dropping the row — left-join semantics end to end
@@ -1528,6 +1576,42 @@ object SparkEntry {
           |      UNION
           |      SELECT r.s, e.o FROM r JOIN e ON r.o = e.s)
           |SELECT s AS emp, o AS mgr FROM r ORDER BY emp, mgr""".stripMargin,
+
+      // reportsTo+ closure joined to each manager's name literal; DISTINCT
+      // because two managers up one chain could share a name (they don't in
+      // this data, but path set semantics say pairs, not witnesses)
+      "kg_path_mgr_names" ->
+        """WITH RECURSIVE e AS (
+          |  SELECT c_custkey AS s, c_custkey // 2 AS o
+          |  FROM customer WHERE c_custkey > 1),
+          |r AS (SELECT s, o FROM e
+          |      UNION
+          |      SELECT r.s, e.o FROM r JOIN e ON r.o = e.s)
+          |SELECT DISTINCT 'http://ex.org/emp/' || CAST(r.s AS VARCHAR) AS emp,
+          |  c.c_name AS mgr_name
+          |FROM r JOIN customer c ON c.c_custkey = r.o
+          |ORDER BY emp, mgr_name""".stripMargin,
+
+      // the chain 13 -> 6 -> 3 -> 1 plus the zero-length self pair
+      "kg_path_star_bound" ->
+        """WITH RECURSIVE r AS (
+          |  SELECT 13 AS k
+          |  UNION
+          |  SELECT k // 2 FROM r WHERE k > 1)
+          |SELECT 'http://ex.org/emp/' || CAST(k AS VARCHAR) AS anc
+          |FROM r ORDER BY anc""".stripMargin,
+
+      // colleagues sharing a manager (self included): employees with the
+      // same c_custkey // 2 parent; root (custkey 1) has no reportsTo edge
+      // so it never appears
+      "kg_path_peers" ->
+        """SELECT 'http://ex.org/emp/' || CAST(a.c_custkey AS VARCHAR) AS e,
+          |  a.c_name AS en,
+          |  'http://ex.org/emp/' || CAST(b.c_custkey AS VARCHAR) AS peer
+          |FROM customer a JOIN customer b
+          |  ON a.c_custkey // 2 = b.c_custkey // 2
+          |WHERE a.c_custkey > 1 AND b.c_custkey > 1
+          |ORDER BY e, peer""".stripMargin,
 
       "kg_bgp_optional" ->
         """SELECT 'http://ex.org/emp/' || CAST(c_custkey AS VARCHAR) AS e,

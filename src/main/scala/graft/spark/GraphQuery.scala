@@ -169,12 +169,27 @@ object GraphQuery {
         "they cannot join on a shared variable — evaluate the constant " +
         "triple separately and gate the query on its result")
 
-    // (frame, vars, subject var, estimated rows, original index); index
-    // breaks cost ties deterministically
-    val items = scala.collection.mutable.ArrayBuffer.tabulate(patterns.size) { i =>
-      val (df, vars) = compile(triples, patterns(i), predBuckets)
-      val subjVar = patterns(i)._1 match { case V(n) => n; case _ => null }
-      (df, vars, subjVar, estimate(patterns(i), stats), i)
+    val items = patterns.map { p =>
+      val (df, vars) = compile(triples, p, predBuckets)
+      val subjVar = p._1 match { case V(n) => n; case _ => null }
+      (df, vars, subjVar, estimate(p, stats))
+    }
+    // variables surface in first-mention order regardless of join order
+    val outVars = patterns
+      .flatMap(p => Seq(p._1, p._2, p._3)).collect { case V(n) => n }.distinct
+    greedyJoin(items, outVars)
+  }
+
+  /** Selectivity-greedy connected join over pre-compiled pattern frames —
+    * the shared core of [[bgp]] and [[bgpWithPaths]]. Each item is
+    * (bindings frame, variable names, subject variable or null, estimated
+    * rows); input position breaks cost ties deterministically.
+    */
+  private def greedyJoin(items0: Seq[(DataFrame, Seq[String], String, Long)],
+                         outVars: Seq[String]): DataFrame = {
+    val items = scala.collection.mutable.ArrayBuffer.tabulate(items0.size) { i =>
+      val (df, vars, sv, e) = items0(i)
+      (df, vars, sv, e, i)
     }
     // subject variables of the patterns already joined into acc: at EQUAL
     // estimated cost, a candidate whose SUBJECT variable is one of these is
@@ -214,9 +229,6 @@ object GraphQuery {
       val shared = nvs.filter(acc._2.contains)
       acc = (acc._1.join(ndf, shared), (acc._2 ++ nvs).distinct)
     }
-    // variables surface in first-mention order regardless of join order
-    val outVars = patterns
-      .flatMap(p => Seq(p._1, p._2, p._3)).collect { case V(n) => n }.distinct
     acc._1.select(outVars.map(col): _*).distinct()
   }
 
@@ -516,9 +528,31 @@ object GraphQuery {
       slice = slice.filter(preds
         .map(p => col("pred_bucket") === pmod(hash(lit(p)), lit(g.predBuckets)))
         .reduce(_ || _)) // each side folds to a literal → partition filter
-    val edges = slice.select(col("subj").as("e_s"), col("obj_iri").as("e_o"))
-      .distinct().localCheckpoint()
-    var deltas = List(edges.select(col("e_s").as("s"), col("e_o").as("o")))
+    val edges = slice.select(col("subj").as("s"), col("obj_iri").as("o")).distinct()
+    seminaiveClosure(edges, edges, maxIterations, preds.mkString("|"))
+  }
+
+  /** Semi-naive transitive expansion — the shared fixpoint core of
+    * [[pathPlusAlt]] and the [[Path.Plus]]/[[Path.Star]] cases of
+    * [[evalPath]]: grow `seed` by repeatedly joining the newest DELTA (only)
+    * against `edges` until no new (s, o) pair appears. Novelty is a
+    * left-anti against the union of checkpointed accepted deltas (disjoint
+    * by construction — shallow lineage, no growing-plan recompute);
+    * iterations = graph diameter; cycles terminate naturally. Hitting
+    * `maxIterations` with a live frontier THROWS — a silently truncated
+    * closure is wrong answers, not a degraded mode.
+    *
+    * @param edgesIn (s, o) hop edges
+    * @param seed    (s, o) starting pairs — the edges themselves for a full
+    *                closure, or the single-source slice for a bound-endpoint
+    *                closure (then only the reachable CONE is explored: at
+    *                100 TB a `<x> p+ ?y` query never materializes the whole
+    *                graph's closure)
+    */
+  private def seminaiveClosure(edgesIn: DataFrame, seed: DataFrame,
+                               maxIterations: Int, what: String): DataFrame = {
+    val edges = edgesIn.select(col("s").as("e_s"), col("o").as("e_o")).localCheckpoint()
+    var deltas = List(seed.select(col("s"), col("o")).distinct().localCheckpoint())
     var delta = deltas.head
     var frontierLive = !delta.isEmpty
     var iter = 0
@@ -538,8 +572,287 @@ object GraphQuery {
     }
     if (frontierLive)
       throw new IllegalStateException(
-        s"pathPlus(${preds.mkString("|")}) frontier still live after $maxIterations iterations " +
+        s"path closure ($what) frontier still live after $maxIterations iterations " +
           "— raise maxIterations; a truncated closure would be silently wrong")
     deltas.reduce(_ union _)
+  }
+
+  // --------------------------------------------------------------------
+  // SPARQL 1.1 property-path algebra
+  // --------------------------------------------------------------------
+
+  /** A property-path expression (the SPARQL 1.1 path algebra — reference
+    * role: rdf-microdata emits graphs INTO RDF.rb, whose SPARQL engine
+    * serves path queries over them; here the engine itself is Spark).
+    * Build with the constructors in [[Path]]; evaluate with [[evalPath]]
+    * or embed in a BGP with [[bgpWithPaths]].
+    */
+  sealed trait Path
+  object Path {
+    /** Atomic predicate step `p` — one forward edge. The object may be an
+      * IRI or a literal (a literal can TERMINATE a path but never continues
+      * it: literals are never subjects).
+      */
+    final case class P(iri: String) extends Path
+    /** Inverse `^p` — traverses object→subject. */
+    final case class Inv(p: Path) extends Path
+    /** Sequence `p1/p2/…` — each step starts where the previous ended. */
+    final case class Chain(ps: Seq[Path]) extends Path
+    /** Alternation `p1|p2|…` — a step may take any branch. */
+    final case class Alt(ps: Seq[Path]) extends Path
+    /** One-or-more `p+` — transitive closure (semi-naive fixpoint). */
+    final case class Plus(p: Path) extends Path
+    /** Zero-or-more `p*` — [[Plus]] plus the zero-length pairs. */
+    final case class Star(p: Path) extends Path
+    /** Zero-or-one `p?` — one step or the zero-length pairs. */
+    final case class Opt(p: Path) extends Path
+    /** Negated property set `!(p1|…|^q1|…)` (SPARQL splits the set by
+      * direction): a `forward=Some(ex)` side matches ONE forward edge whose
+      * predicate is NOT in `ex`; an `inverse=Some(ex)` side matches one
+      * inverse edge likewise; a side left `None` matches nothing in that
+      * direction. `NegSet(Some(Nil))` is the forward wildcard (any one
+      * edge). A negated set scans every predicate BUT the listed ones, so
+      * `pred_bucket` pruning does not apply — by nature, not omission.
+      */
+    final case class NegSet(forward: Option[Seq[String]],
+                            inverse: Option[Seq[String]] = None) extends Path {
+      require(forward.isDefined || inverse.isDefined,
+        "NegSet with neither direction matches nothing — give forward and/or inverse exclusions")
+    }
+    /** `!(iris…)` — any one forward edge whose predicate is none of `iris`. */
+    def notOneOf(iris: String*): NegSet = NegSet(Some(iris))
+    /** Any one forward edge, whatever its predicate. */
+    val wildcard: NegSet = NegSet(Some(Nil))
+  }
+
+  /** Human-readable SPARQL-ish rendering (error messages, logs). */
+  def render(p: Path): String = p match {
+    case Path.P(iri) => s"<$iri>"
+    case Path.Inv(q) => s"^${render(q)}"
+    case Path.Chain(ps) => ps.map(render).mkString("(", "/", ")")
+    case Path.Alt(ps) => ps.map(render).mkString("(", "|", ")")
+    case Path.Plus(q) => render(q) + "+"
+    case Path.Star(q) => render(q) + "*"
+    case Path.Opt(q) => render(q) + "?"
+    case Path.NegSet(f, i) =>
+      val names = f.getOrElse(Nil).map(x => s"<$x>") ++
+        i.getOrElse(Nil).map(x => s"^<$x>")
+      s"!(${names.mkString("|")})"
+  }
+
+  /** Evaluate a property path to its distinct (s, o) pairs over the whole
+    * graph. For bound-endpoint evaluation (`<x> path ?y`), prefer
+    * [[bgpWithPaths]] with a constant term — closures then explore only
+    * the reachable cone instead of materializing the full closure.
+    *
+    * Scale shape: atomic steps are pushed constant-pred scans with
+    * `pred_bucket` partition pruning on a [[ExtractPipeline.writeGraph]]
+    * layout; [[Path.Inv]] is a column swap (free); [[Path.Chain]] is a
+    * chain of co-partitioned equi-joins on the hop node; [[Path.Alt]] is a
+    * metadata-only union of independently-pruned scans; [[Path.Plus]] runs
+    * the [[seminaiveClosure]] fixpoint. [[Path.Star]]/[[Path.Opt]] with
+    * BOTH endpoints unbound must emit the zero-length pair of every graph
+    * node (SPARQL's ZeroLengthPath) — a full node-set scan; bind an
+    * endpoint when you don't need that.
+    */
+  def evalPath(g: PersistedGraph, path: Path, maxIterations: Int = 64): DataFrame =
+    pathFrame(g, path, None, None, maxIterations).distinct()
+
+  /** Atomic forward edges for one predicate: pushed equality +
+    * constant-folded bucket pruning, object coalesced to one term domain.
+    */
+  private def atomEdges(g: PersistedGraph, iri: String): DataFrame = {
+    var df = g.df.filter(col("pred") === iri)
+    if (g.predBuckets > 0 && g.df.columns.contains("pred_bucket"))
+      df = df.filter(col("pred_bucket") === pmod(hash(lit(iri)), lit(g.predBuckets)))
+    df.select(col("subj").as("s"),
+      coalesce(col("obj_iri"), col("obj_lexical")).as("o"))
+  }
+
+  /** Zero-length pairs (SPARQL ZeroLengthPath): a bound endpoint matches
+    * itself; both unbound matches every node occurring in the graph
+    * (subjects ∪ objects — one distinct over two projected scans).
+    */
+  private def zeroLength(g: PersistedGraph, src: Option[String],
+                         dst: Option[String]): DataFrame = {
+    val spark = g.df.sparkSession
+    (src, dst) match {
+      case (Some(a), Some(b)) =>
+        spark.range(if (a == b) 1 else 0).select(lit(a).as("s"), lit(b).as("o"))
+      case (Some(a), None) => spark.range(1).select(lit(a).as("s"), lit(a).as("o"))
+      case (None, Some(b)) => spark.range(1).select(lit(b).as("s"), lit(b).as("o"))
+      case (None, None) =>
+        g.df.select(col("subj").as("n"))
+          .unionByName(g.df.select(
+            coalesce(col("obj_iri"), col("obj_lexical")).as("n")))
+          .distinct()
+          .select(col("n").as("s"), col("n").as("o"))
+    }
+  }
+
+  /** Recursive path evaluation to an (s, o) frame (not necessarily
+    * distinct — [[evalPath]]/[[compilePath]] add the final distinct).
+    * `src`/`dst` are endpoint CONSTANTS pushed as deep as the algebra
+    * allows: into both sides of [[Path.Alt]], the outer steps of a
+    * [[Path.Chain]], the swapped slots of [[Path.Inv]], and the closure
+    * SEED of [[Path.Plus]]/[[Path.Star]] (single-source semi-naive — the
+    * reachable cone, never the full closure).
+    */
+  private def pathFrame(g: PersistedGraph, path: Path, src: Option[String],
+                        dst: Option[String], maxIter: Int): DataFrame = {
+    def bound(df: DataFrame): DataFrame = {
+      var d = df
+      src.foreach(v => d = d.filter(col("s") === v))
+      dst.foreach(v => d = d.filter(col("o") === v))
+      d
+    }
+    path match {
+      case Path.P(iri) => bound(atomEdges(g, iri))
+
+      case Path.NegSet(fwd, inv) =>
+        val fw = fwd.map { ex =>
+          val base = if (ex.isEmpty) g.df else g.df.filter(!col("pred").isin(ex: _*))
+          base.select(col("subj").as("s"),
+            coalesce(col("obj_iri"), col("obj_lexical")).as("o"))
+        }
+        val iv = inv.map { ex =>
+          val base = if (ex.isEmpty) g.df else g.df.filter(!col("pred").isin(ex: _*))
+          base.select(coalesce(col("obj_iri"), col("obj_lexical")).as("s"),
+            col("subj").as("o"))
+        }
+        bound((fw.toSeq ++ iv.toSeq).reduce(_ unionByName _))
+
+      case Path.Inv(p) =>
+        pathFrame(g, p, dst, src, maxIter)
+          .select(col("o").as("s"), col("s").as("o"))
+
+      case Path.Chain(ps) =>
+        require(ps.nonEmpty, "empty path sequence")
+        if (ps.size == 1) pathFrame(g, ps.head, src, dst, maxIter)
+        else {
+          val frames = ps.zipWithIndex.map { case (q, i) =>
+            pathFrame(g, q,
+              if (i == 0) src else None,
+              if (i == ps.size - 1) dst else None, maxIter).distinct()
+          }
+          frames.reduce { (a, b) =>
+            a.as("pl").join(b.as("pr"), col("pl.o") === col("pr.s"))
+              .select(col("pl.s").as("s"), col("pr.o").as("o"))
+          }
+        }
+
+      case Path.Alt(ps) =>
+        require(ps.nonEmpty, "empty path alternation")
+        ps.map(pathFrame(g, _, src, dst, maxIter)).reduce(_ unionByName _)
+
+      case Path.Plus(p) =>
+        val edges = pathFrame(g, p, None, None, maxIter).distinct()
+        (src, dst) match {
+          case (Some(v), d) =>
+            val cone = seminaiveClosure(edges,
+              edges.filter(col("s") === v), maxIter, render(path))
+            d.map(w => cone.filter(col("o") === w)).getOrElse(cone)
+          case (None, Some(w)) => // single-TARGET: explore the reverse cone
+            val rev = edges.select(col("o").as("s"), col("s").as("o"))
+            seminaiveClosure(rev, rev.filter(col("s") === w), maxIter, render(path))
+              .select(col("o").as("s"), col("s").as("o"))
+          case _ => seminaiveClosure(edges, edges, maxIter, render(path))
+        }
+
+      case Path.Star(p) =>
+        pathFrame(g, Path.Plus(p), src, dst, maxIter)
+          .unionByName(zeroLength(g, src, dst))
+
+      case Path.Opt(p) =>
+        pathFrame(g, p, src, dst, maxIter)
+          .unionByName(zeroLength(g, src, dst))
+    }
+  }
+
+  /** One path pattern → (bindings frame, variable names), the path twin of
+    * [[compile]]: constant endpoints push into [[pathFrame]] (closures
+    * explore only the bound cone); a repeated variable (`?x path ?x`)
+    * becomes an equality filter.
+    */
+  private def compilePath(g: PersistedGraph, sTerm: Term, path: Path,
+                          oTerm: Term, maxIter: Int): (DataFrame, Seq[String]) = {
+    val src = sTerm match { case C(v) => Some(v); case _ => None }
+    val dst = oTerm match { case C(v) => Some(v); case _ => None }
+    val df = pathFrame(g, path, src, dst, maxIter).distinct()
+    (sTerm, oTerm) match {
+      case (V(a), V(b)) if a == b =>
+        (df.filter(col("s") === col("o")).select(col("s").as(a)), Seq(a))
+      case (V(a), V(b)) => (df.select(col("s").as(a), col("o").as(b)), Seq(a, b))
+      case (V(a), C(_)) => (df.select(col("s").as(a)), Seq(a))
+      case (C(_), V(b)) => (df.select(col("o").as(b)), Seq(b))
+      case (C(_), C(_)) =>
+        throw new IllegalArgumentException(
+          "variable-free path pattern — evaluate evalPath with both endpoints bound separately")
+    }
+  }
+
+  /** Estimated result rows for a path pattern — a RANKING heuristic for
+    * the greedy join order, same contract as [[estimate]] (consistent
+    * ordering, not cardinality prediction): atoms cost their predicate
+    * frequency, a sequence its narrowest step, an alternation the branch
+    * sum, a closure 4× its edge slice, zero-length forms add the node-set
+    * term; each bound endpoint discounts 100×.
+    */
+  private[spark] def pathEstimate(p: (Term, Path, Term),
+                                  stats: Map[String, Long]): Long = {
+    val total =
+      if (stats.nonEmpty) math.max(stats.valuesIterator.sum, 1L) else Long.MaxValue / 4
+    val cap = Long.MaxValue / 4
+    def go(q: Path): Long = q match {
+      case Path.P(iri) => if (stats.nonEmpty) stats.getOrElse(iri, 0L) else total
+      case Path.Inv(r) => go(r)
+      case Path.Chain(ps) => ps.map(go).min
+      case Path.Alt(ps) => // saturating sum: the no-stats sentinel is cap-sized
+        ps.map(go).foldLeft(0L)((a, b) => if (a > cap - b) cap else a + b)
+      case Path.Plus(r) => math.min(go(r), cap / 4) * 4
+      case Path.Star(r) => math.min(math.min(go(r), cap / 4) * 4 + math.min(total, cap / 2), cap)
+      case Path.Opt(r) => if (go(r) > cap - total) cap else go(r) + total
+      case Path.NegSet(_, _) => total
+    }
+    val consts = Seq(p._1, p._3).count(_.isInstanceOf[C])
+    (0 until consts).foldLeft(go(p._2))((e, _) => if (e > 0) math.max(e / 100, 1L) else 0L)
+  }
+
+  /** BGP extended with property-path patterns: `patterns` solve exactly as
+    * [[bgp]]; each `(s, path, o)` in `pathPatterns` compiles to the path's
+    * distinct (s, o) binding frame ([[compilePath]] — bound endpoints push
+    * into the evaluation, so a `<x> p+ ?y` pattern explores only x's
+    * cone); all frames then join through the same selectivity-greedy
+    * connected order ([[greedyJoin]]), path frames costed by
+    * [[pathEstimate]]. Disconnected pattern sets are refused like in
+    * [[bgp]]. Variables surface in first-mention order, triple patterns
+    * before path patterns.
+    */
+  def bgpWithPaths(g: PersistedGraph, patterns: Seq[(Term, Term, Term)],
+                   pathPatterns: Seq[(Term, Path, Term)],
+                   maxIterations: Int = 64): DataFrame = {
+    require(patterns.nonEmpty || pathPatterns.nonEmpty, "empty BGP")
+    require(patterns.forall(p => Seq(p._1, p._2, p._3).exists(_.isInstanceOf[V])),
+      "variable-free patterns (pure existence checks) are not supported: " +
+        "they cannot join on a shared variable — evaluate the constant " +
+        "triple separately and gate the query on its result")
+    require(pathPatterns.forall(p => Seq(p._1, p._3).exists(_.isInstanceOf[V])),
+      "variable-free path patterns are not supported — evaluate evalPath " +
+        "with both endpoints bound separately and gate the query on its result")
+    val tripleItems = patterns.map { p =>
+      val (df, vars) = compile(g.df, p, g.predBuckets)
+      val subjVar = p._1 match { case V(n) => n; case _ => null }
+      (df, vars, subjVar, estimate(p, g.stats))
+    }
+    val pathItems = pathPatterns.map { pp =>
+      val (df, vars) = compilePath(g, pp._1, pp._2, pp._3, maxIterations)
+      // a path frame is closure/join output, never the bucketed scan — no
+      // subject-star preference applies
+      (df, vars, null: String, pathEstimate(pp, g.stats))
+    }
+    val outVars = (patterns.flatMap(p => Seq(p._1, p._2, p._3)) ++
+        pathPatterns.flatMap(p => Seq(p._1, p._3)))
+      .collect { case V(n) => n }.distinct
+    greedyJoin(tripleItems ++ pathItems, outVars)
   }
 }

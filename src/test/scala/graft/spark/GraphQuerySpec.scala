@@ -632,4 +632,212 @@ class GraphQuerySpec extends AnyFunSuite {
       .toSet
     assert(out == Set(("d1", null), ("p1", "Ann"), ("p2", "Bob")))
   }
+
+  // ------------------------------------------------------------------
+  // property-path algebra
+  // ------------------------------------------------------------------
+  import GraphQuery.Path
+
+  // a small org: a,b report to m; m reports to ceo; names on everyone
+  private def orgGraph = GraphQuery.PersistedGraph(Seq(
+      ("a", "boss", "m", null),
+      ("b", "boss", "m", null),
+      ("m", "boss", "ceo", null),
+      ("a", "name", null, "Ann"),
+      ("b", "name", null, "Bob"),
+      ("m", "name", null, "Mia"),
+      ("ceo", "name", null, "Zed"))
+    .toDF("subj", "pred", "obj_iri", "obj_lexical"), 0, Map.empty)
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+    df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+  test("evalPath: atomic step includes literal-terminal edges") {
+    assert(pairs(GraphQuery.evalPath(orgGraph, Path.P("name"))) ==
+      Set("a" -> "Ann", "b" -> "Bob", "m" -> "Mia", "ceo" -> "Zed"))
+  }
+
+  test("evalPath: inverse traverses object to subject") {
+    assert(pairs(GraphQuery.evalPath(orgGraph, Path.Inv(Path.P("boss")))) ==
+      Set("m" -> "a", "m" -> "b", "ceo" -> "m"))
+  }
+
+  test("evalPath: sequence chains hops (manager's name)") {
+    assert(pairs(GraphQuery.evalPath(orgGraph,
+        Path.Chain(Seq(Path.P("boss"), Path.P("name"))))) ==
+      Set("a" -> "Mia", "b" -> "Mia", "m" -> "Zed"))
+  }
+
+  test("evalPath: plus inside a sequence (all managers' names)") {
+    assert(pairs(GraphQuery.evalPath(orgGraph,
+        Path.Chain(Seq(Path.Plus(Path.P("boss")), Path.P("name"))))) ==
+      Set("a" -> "Mia", "a" -> "Zed", "b" -> "Mia", "b" -> "Zed", "m" -> "Zed"))
+  }
+
+  test("evalPath: alternation unions branches (undirected adjacency)") {
+    assert(pairs(GraphQuery.evalPath(orgGraph,
+        Path.Alt(Seq(Path.P("boss"), Path.Inv(Path.P("boss")))))) ==
+      Set("a" -> "m", "b" -> "m", "m" -> "ceo",
+        "m" -> "a", "m" -> "b", "ceo" -> "m"))
+  }
+
+  test("evalPath: star with both endpoints unbound adds every graph node's zero-length pair") {
+    val out = pairs(GraphQuery.evalPath(orgGraph, Path.Star(Path.P("boss"))))
+    val nodes = Set("a", "b", "m", "ceo", "Ann", "Bob", "Mia", "Zed")
+    assert(out == nodes.map(n => n -> n) ++
+      Set("a" -> "m", "b" -> "m", "m" -> "ceo", "a" -> "ceo", "b" -> "ceo"))
+  }
+
+  test("evalPath: opt is one step or identity") {
+    val out = pairs(GraphQuery.evalPath(orgGraph, Path.Opt(Path.P("boss"))))
+    val nodes = Set("a", "b", "m", "ceo", "Ann", "Bob", "Mia", "Zed")
+    assert(out == nodes.map(n => n -> n) ++
+      Set("a" -> "m", "b" -> "m", "m" -> "ceo"))
+  }
+
+  test("evalPath: negated set excludes listed predicates, keeps the rest") {
+    assert(pairs(GraphQuery.evalPath(orgGraph, Path.notOneOf("name"))) ==
+      Set("a" -> "m", "b" -> "m", "m" -> "ceo"))
+  }
+
+  test("evalPath: negated-set wildcard matches any one forward edge") {
+    val out = pairs(GraphQuery.evalPath(orgGraph, Path.wildcard))
+    assert(out.size == 7 && out.contains("a" -> "m") && out.contains("a" -> "Ann"))
+  }
+
+  test("evalPath: mixed negated set takes both directions") {
+    val out = pairs(GraphQuery.evalPath(orgGraph,
+      Path.NegSet(forward = Some(Seq("name", "boss")), inverse = Some(Seq("name")))))
+    assert(out == Set("m" -> "a", "m" -> "b", "ceo" -> "m"))
+  }
+
+  test("bgpWithPaths: bound-source star explores only the reachable cone plus self") {
+    val out = GraphQuery.bgpWithPaths(orgGraph, Nil,
+        Seq((C("a"), Path.Star(Path.P("boss")), V("anc"))))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("a", "m", "ceo"))
+  }
+
+  test("bgpWithPaths: bound-target plus explores the reverse cone") {
+    val out = GraphQuery.bgpWithPaths(orgGraph, Nil,
+        Seq((V("e"), Path.Plus(Path.P("boss")), C("ceo"))))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("a", "b", "m"))
+  }
+
+  test("bgpWithPaths: path and triple patterns join on shared variables") {
+    // peers = same manager (includes self); name comes from a triple pattern
+    val out = GraphQuery.bgpWithPaths(orgGraph,
+        patterns = Seq((V("e"), C("name"), V("n"))),
+        pathPatterns = Seq(
+          (V("e"), Path.Chain(Seq(Path.P("boss"), Path.Inv(Path.P("boss")))), V("peer"))))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(
+      ("a", "Ann", "a"), ("a", "Ann", "b"), ("b", "Bob", "a"), ("b", "Bob", "b"),
+      ("m", "Mia", "m")))
+  }
+
+  test("bgpWithPaths: repeated variable on a path pattern filters to fixpoints") {
+    val cyc = GraphQuery.PersistedGraph(Seq(
+        ("x", "next", "y", null), ("y", "next", "x", null), ("y", "next", "z", null))
+      .toDF("subj", "pred", "obj_iri", "obj_lexical"), 0, Map.empty)
+    val out = GraphQuery.bgpWithPaths(cyc, Nil,
+        Seq((V("n"), Path.Plus(Path.P("next")), V("n"))))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("x", "y")) // z is reachable but not on the cycle
+  }
+
+  test("bgpWithPaths: disconnected path pattern is refused") {
+    val e = intercept[IllegalArgumentException] {
+      GraphQuery.bgpWithPaths(orgGraph,
+        patterns = Seq((V("x"), C(TypeP), C("Person"))),
+        pathPatterns = Seq((V("a"), Path.P("boss"), V("b"))))
+    }
+    assert(e.getMessage.contains("cartesian"))
+  }
+
+  test("evalPath: plus matches pathPlus on an IRI-only slice") {
+    val g = pathGraph("a" -> "b", "b" -> "c", "c" -> "d")
+    assert(pairs(GraphQuery.evalPath(g, Path.Plus(Path.P("boss")))) ==
+      pairs(GraphQuery.pathPlus(g, "boss")))
+  }
+
+  test("evalPath: bound-source closure still throws on a live frontier") {
+    val e = intercept[IllegalStateException] {
+      GraphQuery.bgpWithPaths(
+        pathGraph("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e"), Nil,
+        Seq((C("a"), Path.Plus(Path.P("boss")), V("x"))), maxIterations = 1)
+    }
+    assert(e.getMessage.contains("frontier still live"))
+  }
+
+  // ------------------------------------------------------------------
+  // path surface syntax (PathParser) and the CLI route
+  // ------------------------------------------------------------------
+
+  test("PathParser: precedence — alternation over sequence over unary") {
+    assert(PathParser.parse("<a>/<b>|<c>+") ==
+      Path.Alt(Seq(Path.Chain(Seq(Path.P("a"), Path.P("b"))), Path.Plus(Path.P("c")))))
+    assert(PathParser.parse("^<a>/<b>") ==
+      Path.Chain(Seq(Path.Inv(Path.P("a")), Path.P("b"))))
+    assert(PathParser.parse("(<a>|<b>)*") ==
+      Path.Star(Path.Alt(Seq(Path.P("a"), Path.P("b")))))
+    assert(PathParser.parse("^(<a>/<b>)") ==
+      Path.Inv(Path.Chain(Seq(Path.P("a"), Path.P("b")))))
+    assert(PathParser.parse("<a>?") == Path.Opt(Path.P("a")))
+  }
+
+  test("PathParser: negated sets split by direction") {
+    assert(PathParser.parse("!(<a>|^<b>|<c>)") ==
+      Path.NegSet(Some(Seq("a", "c")), Some(Seq("b"))))
+    assert(PathParser.parse("!(^<b>)") == Path.NegSet(None, Some(Seq("b"))))
+  }
+
+  test("PathParser: malformed input is rejected with position info") {
+    intercept[IllegalArgumentException](PathParser.parse("<a>/"))
+    intercept[IllegalArgumentException](PathParser.parse("(<a>"))
+    intercept[IllegalArgumentException](PathParser.parse("<a>+*"))
+    intercept[IllegalArgumentException](PathParser.parse("!()"))
+    intercept[IllegalArgumentException](PathParser.parse("<>"))
+  }
+
+  test("PathParser.isPathExpr: operators outside <> dispatch, plain terms do not") {
+    assert(PathParser.isPathExpr("<a>+"))
+    assert(PathParser.isPathExpr("^<a>"))
+    assert(PathParser.isPathExpr("<a>/<b>"))
+    assert(!PathParser.isPathExpr("<http://ex.org/with|pipe>"))
+    assert(!PathParser.isPathExpr("?v"))
+    assert(!PathParser.isPathExpr("<http://schema.org/name>"))
+  }
+
+  test("QueryMain CLI: a path expression in the predicate slot routes to bgpWithPaths") {
+    val base = java.nio.file.Files.createTempDirectory("gq_cli_path_").toString
+    val triples = Seq(
+      ("a", "boss", "m", null),
+      ("m", "boss", "ceo", null),
+      ("a", "name", null, "Ann"),
+      ("m", "name", null, "Mia"),
+      ("ceo", "name", null, "Zed"))
+      .toDF("subj", "pred", "obj_iri", "obj_lexical")
+      .withColumn("obj_datatype", org.apache.spark.sql.functions.lit(null).cast("string"))
+      .withColumn("obj_lang", org.apache.spark.sql.functions.lit(null).cast("string"))
+      .withColumn("conv_id", org.apache.spark.sql.functions.lit("c"))
+      .withColumn("turn_idx", org.apache.spark.sql.functions.lit(0))
+      .as[graft.model.Triple]
+    ExtractPipeline.writeGraph(triples, s"$base/graph", predBuckets = 4)
+    // all transitive managers' names of a
+    val n = graft.QueryMain.run(Array(
+      "--graph", s"$base/graph", "--output", s"$base/out",
+      "--pattern", "?e <name> ?en",
+      "--pattern", "?e <boss>+/<name> ?mn"), spark)
+    assert(n == 3L)
+    val rows = spark.read.parquet(s"$base/out")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set(("a", "Ann", "Mia"), ("a", "Ann", "Zed"), ("m", "Mia", "Zed")))
+    // path patterns refuse --describe/--optional/--minus composition
+    val e = intercept[IllegalArgumentException](graft.QueryMain.run(Array(
+      "--graph", s"$base/graph", "--output", s"$base/out2", "--describe", "?e",
+      "--pattern", "?e <boss>+ ?m"), spark))
+    assert(e.getMessage.contains("plain SELECT"))
+  }
 }
