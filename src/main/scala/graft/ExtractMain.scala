@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSession
   *     [--registry /path/to/registry.json] \
   *     [--base-prefix conv://] [--buckets 256] [--entail] [--ntriples] \
   *     [--subject-table graph_by_subj] [--validate]
+  *     [--validate-uris] [--canonicalize-uris]
   *
   * `--entail` requires `--ntriples` or `--subject-table` (the closure is
   * whole-graph; the bucketed resume path writes per-bucket batches and
@@ -73,10 +74,17 @@ object ExtractMain {
     require(!(opts.contains("ntriples") && opts.contains("subject-table")),
       "--ntriples and --subject-table are mutually exclusive output modes")
 
+    // the reference's reader options validate:/canonicalize: (reader.rb:83-88)
+    // as opt-in flags; --validate-uris errors feed the same accumulator the
+    // --validate exit path checks
+    val uriOpts = graft.core.UriOptions(
+      validate = opts.contains("validate-uris"),
+      canonicalize = opts.contains("canonicalize-uris"))
+
     def wholeGraph(): org.apache.spark.sql.Dataset[graft.model.Triple] = {
       val triples = ExtractPipeline.canonicalize(
         ExtractPipeline.extract(transcripts, registry,
-          opts.getOrElse("base-prefix", null), errors))
+          opts.getOrElse("base-prefix", null), errors, uriOpts))
       if (opts.contains("entail")) Entailment.owlEntailWithTransitive(triples) else triples
     }
 
@@ -105,7 +113,8 @@ object ExtractMain {
         val summary = Resume.writeWithResume(transcripts, opts("output"),
           opts.getOrElse("buckets", "256").toInt, registry,
           basePrefix = opts.getOrElse("base-prefix", null),
-          errorCounter = errors)
+          errorCounter = errors,
+          uriOptions = uriOpts)
         summary.rowsWritten
       }
     val secs = (System.nanoTime() - t0) / 1e9
@@ -124,6 +133,6 @@ object ExtractMain {
   }
 
   private def parseArgs(args: Array[String]): Map[String, String] =
-    CliArgs.parse(args, flags = Set("entail", "ntriples", "validate"),
+    CliArgs.parse(args, flags = Set("entail", "ntriples", "validate", "validate-uris", "canonicalize-uris"),
       required = Seq("input", "output"))._1
 }

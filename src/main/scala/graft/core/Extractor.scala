@@ -12,6 +12,19 @@ import scala.collection.mutable
   */
 final case class ExtractResult(triples: Vector[RawTriple], errors: Vector[String])
 
+/** Opt-in IRI treatment, the reference's reader options `validate:` /
+  * `canonicalize:` applied in its `uri()` helper (reader.rb:83-88,
+  * 464-466). Defaults mirror the reference (both off — the fixture-proven
+  * verbatim-lexical policy). `validate` FLAGS invalid produced IRIs as soft
+  * errors ([[ExtractResult.errors]] — the `--validate` CLI mode then fails
+  * the job, reader.rb:146-148) without mutating the triple; `canonicalize`
+  * rewrites IRIs via [[Rfc3986.canonicalizeIri]]. The reference's third
+  * knob, `intern:`, is object interning — meaningless for Spark string
+  * columns (Tungsten owns the memory), deliberately absent.
+  */
+final case class UriOptions(validate: Boolean = false, canonicalize: Boolean = false)
+object UriOptions { val default: UriOptions = UriOptions() }
+
 /** Microdata → triples extraction over a [[MicroDoc]] DOM.
   *
   * A from-scratch port of the W3C "Microdata to RDF" processing rules as the
@@ -82,13 +95,15 @@ object Extractor {
     *                resolves against the empty URI, reader.rb:209)
     */
   def extract(html: String, docId: String, baseUri: String,
-              registry: RegistryIndex): ExtractResult = {
+              registry: RegistryIndex,
+              uriOptions: UriOptions = UriOptions.default): ExtractResult = {
     val doc = MicroDoc.parse(html)
-    new Run(doc, docId, baseUri, registry).parseWholeDocument()
+    new Run(doc, docId, baseUri, registry, uriOptions).parseWholeDocument()
   }
 
   private final class Run(doc: MicroDoc.Doc, docId: String, baseUri0: String,
-                          registry: RegistryIndex) {
+                          registry: RegistryIndex,
+                          uriOpts: UriOptions = UriOptions.default) {
     private val triples = Vector.newBuilder[RawTriple]
     private val errors = Vector.newBuilder[String]
     // Element → subject, object-identity keyed (reader.rb:25-26, 232-242)
@@ -106,8 +121,18 @@ object Extractor {
       ExtractResult(triples.result(), errors.result())
     }
 
-    private def uri(value: String, b: String): String =
-      if (b != null) Rfc3986.resolve(b, value) else value
+    // the reference's uri() helper (reader.rb:457-467): resolve, then the
+    // opt-in canonicalize/validate treatments in its order (validate sees
+    // the canonical form when both are on, matching validate!-then-
+    // canonicalize! on an already-joined RDF::URI — our flag-only validate
+    // makes the order visible solely through the error MESSAGE text)
+    private def uri(value: String, b: String): String = {
+      var v = if (b != null) Rfc3986.resolve(b, value) else value
+      if (uriOpts.canonicalize) v = Rfc3986.canonicalizeIri(v)
+      if (uriOpts.validate)
+        Rfc3986.validateIri(v).foreach(m => errors += s"invalid IRI: $m")
+      v
+    }
 
     private def add(subj: String, pred: String, obj: Term): Unit =
       triples += RawTriple(subj, pred, obj)

@@ -132,4 +132,99 @@ object Rfc3986 {
     */
   def withFragment(base: String, frag: String): String =
     stripFragment(base) + "#" + frag
+
+  /** Opt-in IRI validation (the reference's `validate:` reader option —
+    * reader.rb:464 `value.validate! if validate?`): None = valid, Some =
+    * the reason. Pragmatic IRI check, not full ABNF: a valid RDF term IRI
+    * must be absolute (carry a scheme), contain no raw whitespace /
+    * control / angle-quote-brace characters (the set the N-Triples
+    * grammar also forbids inside `<...>`), and every `%` must head a
+    * two-hex-digit escape. Validation FLAGS, it never mutates — the
+    * verbatim-lexical policy stays (FIXTURES.md).
+    */
+  def validateIri(s: String): Option[String] = {
+    if (s == null || s.isEmpty) return Some("empty IRI")
+    if (!isAbsolute(s)) return Some(s"relative IRI (no scheme): $s")
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c <= ' ') return Some(f"forbidden character U+${c.toInt}%04X in IRI: $s")
+      if (c == '<' || c == '>' || c == '"' || c == '{' || c == '}' ||
+          c == '|' || c == '\\' || c == '^' || c == '`')
+        return Some(s"forbidden character '$c' in IRI: $s")
+      if (c == '%') {
+        if (i + 2 >= n || !isHex(s.charAt(i + 1)) || !isHex(s.charAt(i + 2)))
+          return Some(s"malformed percent-escape at $i in IRI: $s")
+        i += 2
+      }
+      i += 1
+    }
+    None
+  }
+
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  /** Opt-in IRI canonicalization (the reference's `canonicalize:` reader
+    * option — reader.rb:465 `value.canonicalize! if canonicalize?`,
+    * RDF.rb's `URI#canonicalize` normalizations): lowercase the scheme and
+    * host, drop the default port (http:80 / https:443), uppercase the hex
+    * digits of percent-escapes, and remove dot segments from the path.
+    * Relative references (no scheme) are returned untouched — there is
+    * nothing scheme-relative to normalize.
+    */
+  def canonicalizeIri(s: String): String = {
+    if (!isAbsolute(s)) return s
+    val p = parse(s)
+    val scheme = p.scheme.toLowerCase(java.util.Locale.ROOT)
+    val authority =
+      if (p.authority == null) null
+      else {
+        // userinfo@host:port — only host lowercases; default ports drop
+        val at = p.authority.lastIndexOf('@')
+        val (userinfo, hostPort) =
+          if (at >= 0) (p.authority.substring(0, at + 1), p.authority.substring(at + 1))
+          else ("", p.authority)
+        val colon = hostPort.lastIndexOf(':')
+        // a colon inside an IPv6 literal [..] is not a port separator
+        val isPort = colon >= 0 && !hostPort.substring(colon + 1).contains(']') &&
+          hostPort.substring(colon + 1).forall(c => c >= '0' && c <= '9')
+        val (host, port) =
+          if (isPort) (hostPort.substring(0, colon), hostPort.substring(colon + 1))
+          else (hostPort, null)
+        val hostLc = host.toLowerCase(java.util.Locale.ROOT)
+        val keepPort = port != null && port.nonEmpty &&
+          !((scheme == "http" && port == "80") || (scheme == "https" && port == "443"))
+        userinfo + hostLc + (if (keepPort) ":" + port else "")
+      }
+    val path = upcaseEscapes(removeDotSegments(p.path))
+    Parts(scheme, authority,
+      path,
+      if (p.query == null) null else upcaseEscapes(p.query),
+      if (p.fragment == null) null else upcaseEscapes(p.fragment)).recompose
+  }
+
+  /** Uppercase the two hex digits of every %XX escape (RFC 3986 §6.2.2.1);
+    * everything else passes through verbatim.
+    */
+  private def upcaseEscapes(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+        sb.append('%')
+          .append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else { // malformed escape passes through verbatim — never throws
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
 }

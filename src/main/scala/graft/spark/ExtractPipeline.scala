@@ -52,7 +52,8 @@ object ExtractPipeline {
   def extract(transcripts: DataFrame,
               registry: RegistryIndex = defaultRegistry,
               basePrefix: String = null,
-              errorCounter: LongAccumulator = null): Dataset[Triple] = {
+              errorCounter: LongAccumulator = null,
+              uriOptions: graft.core.UriOptions = graft.core.UriOptions.default): Dataset[Triple] = {
     val spark = transcripts.sparkSession
     import spark.implicits._
     val bcast = spark.sparkContext.broadcast(registry)
@@ -75,7 +76,7 @@ object ExtractPipeline {
           if (rowBase != null) rowBase
           else if (basePrefix == null) null
           else s"$basePrefix$convId/$turnIdx"
-        val res = Extractor.extract(text, docId, base, reg)
+        val res = Extractor.extract(text, docId, base, reg, uriOptions)
         if (errorCounter != null && res.errors.nonEmpty)
           errorCounter.add(res.errors.size.toLong)
         res.triples.map { rt =>

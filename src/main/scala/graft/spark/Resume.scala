@@ -57,7 +57,8 @@ object Resume {
                       basePrefix: String = null,
                       errorCounter: org.apache.spark.util.LongAccumulator = null,
                       transform: org.apache.spark.sql.Dataset[graft.model.Triple] =>
-                        org.apache.spark.sql.Dataset[graft.model.Triple] = identity): Summary = {
+                        org.apache.spark.sql.Dataset[graft.model.Triple] = identity,
+                      uriOptions: graft.core.UriOptions = graft.core.UriOptions.default): Summary = {
     val spark = transcripts.sparkSession
     val done = completedBuckets(spark, outDir, io)
     val all = 0 until nBuckets
@@ -68,7 +69,8 @@ object Resume {
       .withColumn("bucket", pmod(crc32(col("conv_id")), lit(nBuckets)))
       .filter(col("bucket").isin(todo: _*))
     val triples = transform(
-        ExtractPipeline.extract(bucketed.drop("bucket"), registry, basePrefix, errorCounter))
+        ExtractPipeline.extract(bucketed.drop("bucket"), registry, basePrefix,
+          errorCounter, uriOptions))
       .withColumn("bucket", pmod(crc32(col("conv_id")), lit(nBuckets)))
 
     // dynamic overwrite (writer-scoped option, not a session-wide conf):

@@ -501,4 +501,36 @@ class ExtractorSpec extends AnyFunSuite {
   test("composite golden: example1 + example2 + example3") {
     composite("example1", "example2", "example3")
   }
+
+  // ---- reader URI options validate:/canonicalize: (reader.rb:83-88, 464-466) ----
+
+  test("UriOptions.validate flags a relative itemid (no base) as a soft error, triple kept verbatim") {
+    val html = """<div itemscope itemtype="http://schema.org/Person" itemid="people/1"><span itemprop="name">Ann</span></div>"""
+    val default = Extractor.extract(html, "d", null, TestGraph.testRegistry)
+    assert(default.errors.isEmpty) // verbatim policy: options off = fixture behavior
+    val validated = Extractor.extract(html, "d", null, TestGraph.testRegistry,
+      UriOptions(validate = true))
+    assert(validated.errors.exists(_.contains("relative IRI")))
+    // validation flags, never mutates: the triples are identical
+    assert(validated.triples == default.triples)
+  }
+
+  test("UriOptions.validate passes a fully-resolved absolute graph silently") {
+    val html = """<div itemscope itemtype="http://schema.org/Person" itemid="people/1"><a itemprop="url" href="x">l</a></div>"""
+    val r = Extractor.extract(html, "d", "http://ex.org/base/", TestGraph.testRegistry,
+      UriOptions(validate = true))
+    assert(r.errors.isEmpty)
+    assert(r.triples.exists(_.subj == "http://ex.org/base/people/1"))
+  }
+
+  test("UriOptions.canonicalize normalizes itemid and URL-property objects") {
+    val html = """<div itemscope itemtype="http://schema.org/Person" itemid="HTTP://Ex.ORG:80/p/../q"><a itemprop="url" href="HTTPS://A.B:443/%2f">l</a></div>"""
+    val r = Extractor.extract(html, "d", null, TestGraph.testRegistry,
+      UriOptions(canonicalize = true))
+    assert(r.triples.exists(_.subj == "http://ex.org/q"))
+    assert(r.triples.exists(t => t.obj == graft.model.Term.Iri("https://a.b/%2F")))
+    // itemtype tokens are NOT uri()-routed (reference: types resolve as
+    // given) — the rdf:type object stays verbatim
+    assert(r.triples.exists(t => t.obj == graft.model.Term.Iri("http://schema.org/Person")))
+  }
 }

@@ -23,6 +23,32 @@ class Rfc3986Spec extends AnyFunSuite {
     assert(Rfc3986.resolve("", "") == "")
     assert(Rfc3986.resolve("", "#name") == "#name")
   }
+  test("validateIri: opt-in reader validate semantics (reader.rb:464)") {
+    assert(Rfc3986.validateIri("http://example.com/a?q=1#f").isEmpty)
+    assert(Rfc3986.validateIri("urn:isbn:0451450523").isEmpty)
+    assert(Rfc3986.validateIri("http://ex.org/%C3%A9").isEmpty)
+    assert(Rfc3986.validateIri("").exists(_.contains("empty")))
+    assert(Rfc3986.validateIri("relative/path").exists(_.contains("relative")))
+    assert(Rfc3986.validateIri("http://ex.org/a b").exists(_.contains("U+0020")))
+    assert(Rfc3986.validateIri("http://ex.org/<x>").exists(_.contains("forbidden")))
+    assert(Rfc3986.validateIri("http://ex.org/%G1").exists(_.contains("percent")))
+    assert(Rfc3986.validateIri("http://ex.org/%2").exists(_.contains("percent")))
+  }
+
+  test("canonicalizeIri: scheme/host lowercase, default port drop, escape upcase, dot segments") {
+    assert(Rfc3986.canonicalizeIri("HTTP://Example.COM:80/a/../b%2f") ==
+      "http://example.com/b%2F")
+    assert(Rfc3986.canonicalizeIri("https://Ex.org:443/x") == "https://ex.org/x")
+    assert(Rfc3986.canonicalizeIri("https://ex.org:8443/x") == "https://ex.org:8443/x")
+    assert(Rfc3986.canonicalizeIri("http://u:p@Host.Org/P") == "http://u:p@host.org/P")
+    // path/query/fragment case is preserved (only escapes upcase)
+    assert(Rfc3986.canonicalizeIri("http://ex.org/Path?Q=%2f#Fr%2f") ==
+      "http://ex.org/Path?Q=%2F#Fr%2F")
+    // relative refs pass through untouched; malformed escapes never throw
+    assert(Rfc3986.canonicalizeIri("relative/Path") == "relative/Path")
+    assert(Rfc3986.canonicalizeIri("http://ex.org/%2") == "http://ex.org/%2")
+  }
+
   test("isAbsolute") {
     assert(Rfc3986.isAbsolute("http://schema.org/name"))
     assert(Rfc3986.isAbsolute("urn:x:y"))
