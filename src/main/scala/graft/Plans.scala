@@ -23,7 +23,8 @@ object Plans {
       "kg_bgp_person_star", "doc_train_set", "doc_chunks", "doc_source_mixture",
       "doc_pack_seqs", "doc_repetition", "doc_bpe_pairs", "doc_bpe_encode",
       "doc_cross_dedup", "kg_bgp_optional", "kg_bgp_union", "kg_entail_rules",
-      "kg_describe", "kg_bgp_minus", "kg_construct", "kg_graph_diff")
+      "kg_describe", "kg_bgp_minus", "kg_construct", "kg_graph_diff",
+      "kg_path_mgr_names", "kg_path_peers", "kg_path_star_bound")
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plan evidence (explain formatted)\n\n"
     sb ++= "Regenerate with `sbt \"runMain graft.Plans\"`. Things to check per plan:\n"
@@ -48,7 +49,15 @@ object Plans {
     sb ++= "(the union itself is metadata-only, the distinct is the one shuffle\n"
     sb ++= "set semantics demand); kg_bgp_minus/kg_describe end in an anti-/semi-\n"
     sb ++= "join whose SMALL side is the selective binding set (AQE broadcasts\n"
-    sb ++= "it at runtime — the static dump shows the SMJ fallback shape).\n\n"
+    sb ++= "it at runtime — the static dump shows the SMJ fallback shape).\n"
+    sb ++= "Property-path plans: kg_path_mgr_names joins the checkpointed\n"
+    sb ++= "reportsTo+ closure to the PRUNED pred='name' scan (the literal-\n"
+    sb ++= "terminal Chain step — look for the pushed pred filter + pred_bucket\n"
+    sb ++= "PartitionFilters on the name slice); kg_path_peers shows a path\n"
+    sb ++= "frame and a triple-pattern frame meeting in the greedy join;\n"
+    sb ++= "kg_path_star_bound's closure is SEEDED at the bound source, so its\n"
+    sb ++= "plan is the union of cone deltas plus the zero-length literal row —\n"
+    sb ++= "no full-graph closure anywhere.\n\n"
     names.foreach { n =>
       sb ++= s"## $n\n\n```\n"
       val df = SparkEntry.queries(n)(spark, dir)

@@ -169,6 +169,26 @@ object SparkEntry {
         .orderBy(col("subj"), col("pred"), col("obj_lexical"))
     }),
 
+    // INCREMENTAL closure maintenance: the standing graph is closed FIRST
+    // (trivially — no schema edges yet), then the schema edges arrive as
+    // the DELTA batch; owlEntailIncremental must replay the closed facts
+    // through the new edges AND iterate the derived label facts into title
+    // — same expected output as kg_entail, proving incremental == scratch
+    // against the independent oracle
+    "kg_entail_incr" -> ((s, dir) => {
+      import s.implicits._
+      val closed = Entailment.owlEntail(customerTriples(s, dir))
+      val delta = Seq(
+        Triple("http://schema.org/name", Entailment.SubPropertyOf,
+          "http://ex.org/label", null, null, null, "schema", -1),
+        Triple("http://ex.org/label", Entailment.EquivalentProperty,
+          "http://ex.org/title", null, null, null, "schema", -1)).toDS()
+      Entailment.owlEntailIncremental(closed, delta)
+        .filter(col("pred").isin("http://ex.org/label", "http://ex.org/title"))
+        .select(col("subj"), col("pred"), col("obj_lexical"))
+        .orderBy(col("subj"), col("pred"), col("obj_lexical"))
+    }),
+
     // the EXTENDED rule set (prp-inv, cax-sco chain) in one gate: inverse
     // edges derive manages from reportsTo over the org tree, a two-level
     // subClassOf chain types every Person as Agent AND Thing (second level
@@ -1122,6 +1142,17 @@ object SparkEntry {
           |FROM supplier ORDER BY subj""".stripMargin,
 
       "kg_entail" ->
+        """WITH names AS (
+          |  SELECT 'http://ex.org/customer/' || c_custkey AS subj, c_name AS obj_lexical FROM customer WHERE c_custkey % 7 <> 0
+          |  UNION ALL SELECT DISTINCT 'http://ex.org/nation/' || c_nationkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey % 7 <> 0
+          |)
+          |SELECT subj, pred, obj_lexical FROM (
+          |  SELECT subj, 'http://ex.org/label' AS pred, obj_lexical FROM names
+          |  UNION ALL SELECT subj, 'http://ex.org/title', obj_lexical FROM names
+          |) t ORDER BY subj, pred, obj_lexical""".stripMargin,
+
+      // incremental == from-scratch: same expected rows as kg_entail
+      "kg_entail_incr" ->
         """WITH names AS (
           |  SELECT 'http://ex.org/customer/' || c_custkey AS subj, c_name AS obj_lexical FROM customer WHERE c_custkey % 7 <> 0
           |  UNION ALL SELECT DISTINCT 'http://ex.org/nation/' || c_nationkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey % 7 <> 0

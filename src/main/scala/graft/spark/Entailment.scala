@@ -116,7 +116,65 @@ object Entailment {
     * a small fraction of the graph.
     */
   def owlEntail(triples: Dataset[Triple], maxIterations: Int = 20): Dataset[Triple] = {
-    val spark = triples.sparkSession
+    val base = triples.dropDuplicates(Triple.identityCols).localCheckpoint()
+    // delta0 == base, so schemaEdges(base) already covers the first
+    // iteration's edge set — the in-loop new-edge diff starts at round 2
+    entailFrom(base, base, schemaEdges(base).localCheckpoint(),
+      firstDeltaEdgesCovered = true, maxIterations)
+  }
+
+  /** INCREMENTAL closure maintenance — the entailment twin of
+    * [[ExtractPipeline.graphDiff]]'s continuously-crawled-corpus role:
+    * given an ALREADY-CLOSED graph (an [[owlEntail]] output, deduplicated)
+    * and newly asserted triples, return `owlEntail(closed ∪ delta)` while
+    * deriving ONLY from the delta. The rewrite rules are monotone datalog,
+    * so the semi-naive loop seeded with the fresh rows (instead of the
+    * whole base) computes exactly the same fixpoint — per-batch cost is
+    * O(|Δ| + |closed ⋈ Δedges|), never O(|closed|): at 100 TB the nightly
+    * crawl increment re-derives nothing the standing closure already
+    * holds.
+    *
+    * A schema edge ARRIVING IN THE DELTA (e.g. a new `q ⊑ p` assertion) is
+    * the one case where old facts yield new derivations; the loop's
+    * new-edge diff runs from the FIRST iteration here, joining the full
+    * closed graph against just those new edges — the same one-shot
+    * catch-up [[owlEntail]] applies when a derived triple is itself a
+    * schema edge.
+    *
+    * Transitive predicates are out of scope (their antecedent joins facts
+    * with facts — incremental transitive closure needs its own frontier
+    * over the NEW edges; use [[owlEntailWithTransitive]] on the union when
+    * the schema declares any).
+    */
+  def owlEntailIncremental(closed: Dataset[Triple], delta: Dataset[Triple],
+                           maxIterations: Int = 20): Dataset[Triple] = {
+    val antiCond = Triple.identityCond("d", "a")
+    val base = closed.dropDuplicates(Triple.identityCols).localCheckpoint()
+    import closed.sparkSession.implicits._
+    val fresh = delta.dropDuplicates(Triple.identityCols).as("d")
+      .join(base.as("a"), antiCond, "left_anti").as[Triple].localCheckpoint()
+    if (fresh.isEmpty) return base
+    // edges from CLOSED only: the first-iteration diff then surfaces the
+    // delta's own schema edges and replays them against the closed graph
+    entailFrom(base.union(fresh).localCheckpoint(), fresh,
+      schemaEdges(base).localCheckpoint(),
+      firstDeltaEdgesCovered = false, maxIterations)
+  }
+
+  /** Shared semi-naive fixpoint core of [[owlEntail]] (delta = whole base)
+    * and [[owlEntailIncremental]] (delta = fresh rows only).
+    *
+    * @param result0 deduplicated starting graph (already contains delta0)
+    * @param delta0  the rows to derive from first
+    * @param edges0  rewrite edges KNOWN before delta0's are diffed in
+    * @param firstDeltaEdgesCovered true when edges0 already includes
+    *        delta0's schema edges (full closure); false makes the
+    *        new-edge diff run from iteration 1 (incremental)
+    */
+  private def entailFrom(result0: Dataset[Triple], delta0: Dataset[Triple],
+                         edges0: DataFrame, firstDeltaEdgesCovered: Boolean,
+                         maxIterations: Int): Dataset[Triple] = {
+    val spark = result0.sparkSession
     import spark.implicits._
     val antiCond = Triple.identityCond("d", "a")
 
@@ -135,19 +193,17 @@ object Entailment {
       predTargets.union(classTargets).as[Triple]
     }
 
-    val base = triples.dropDuplicates(Triple.identityCols).localCheckpoint()
-    var result = base
-    var delta = base
-    var edges = schemaEdges(base).localCheckpoint()
-    var seen = targetSlice(base, edges).localCheckpoint()
+    var result = result0
+    var delta = delta0
+    var edges = edges0
+    var seen = targetSlice(result0, edges).localCheckpoint()
     var iter = 0
     while (iter < maxIterations && !delta.isEmpty) {
       iter += 1
-      // edges introduced by the last delta (empty on the first iteration,
-      // where delta == base and `edges` already covers everything); the
-      // rare nonEmpty case widens the target set, so `seen` is rebuilt
+      // edges introduced by the last delta; the rare nonEmpty case widens
+      // the target set, so `seen` is rebuilt
       val newEdges =
-        if (iter == 1) None
+        if (iter == 1 && firstDeltaEdgesCovered) None
         else {
           val ne = schemaEdges(delta).as("d")
             .join(edges.as("a"),

@@ -114,6 +114,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(Entailment.owlEntail(base).count() == 1)
   }
 
+  private def tripleKeys(ds: org.apache.spark.sql.Dataset[Triple]): Set[(String, String, String, String)] =
+    ds.collect().map(t => (t.subj, t.pred, t.obj_iri, t.obj_lexical)).toSet
+
+  test("owlEntailIncremental equals the from-scratch closure when the delta is plain facts") {
+    val g0 = Seq(
+      Triple("http://x/me", "http://x/name", null, "Gregg", null, null, "c", 0),
+      Triple("http://x/name", Entailment.SubPropertyOf, "http://foaf/name", null, null, null, "c", 0)
+    ).toDS()
+    val delta = Seq(
+      Triple("http://x/you", "http://x/name", null, "Ada", null, null, "c", 1)).toDS()
+    val closed = Entailment.owlEntail(g0)
+    val incr = Entailment.owlEntailIncremental(closed, delta)
+    val scratch = Entailment.owlEntail(g0.union(delta))
+    assert(tripleKeys(incr) == tripleKeys(scratch))
+    // the increment derived: you foaf:name Ada
+    assert(tripleKeys(incr).contains(("http://x/you", "http://foaf/name", null, "Ada")))
+  }
+
+  test("owlEntailIncremental: a schema edge ARRIVING in the delta replays over the closed graph") {
+    val g0 = Seq(
+      Triple("http://x/me", "http://x/name", null, "Gregg", null, null, "c", 0)).toDS()
+    val delta = Seq(
+      // two-level chain: old facts must derive through BOTH new edges
+      Triple("http://x/name", Entailment.SubPropertyOf, "http://x/label", null, null, null, "s", 0),
+      Triple("http://x/label", Entailment.EquivalentProperty, "http://x/title", null, null, null, "s", 0)
+    ).toDS()
+    val closed = Entailment.owlEntail(g0) // trivially closed (no edges)
+    val incr = Entailment.owlEntailIncremental(closed, delta)
+    val scratch = Entailment.owlEntail(g0.union(delta))
+    assert(tripleKeys(incr) == tripleKeys(scratch))
+    assert(tripleKeys(incr).contains(("http://x/me", "http://x/title", null, "Gregg")))
+  }
+
+  test("owlEntailIncremental: an already-known delta is a no-op returning the closure") {
+    val g0 = Seq(
+      Triple("http://x/me", "http://x/name", null, "Gregg", null, null, "c", 0),
+      Triple("http://x/name", Entailment.SubPropertyOf, "http://foaf/name", null, null, null, "c", 0)
+    ).toDS()
+    val closed = Entailment.owlEntail(g0)
+    val incr = Entailment.owlEntailIncremental(closed, g0)
+    assert(tripleKeys(incr) == tripleKeys(closed))
+    assert(incr.count() == closed.count())
+  }
+
   test("graphDiff: added/removed surface with signs, unchanged and lineage-only changes don't") {
     val old = Seq(
       Triple("a", "p", "b", null, null, null, "c1", 0),
