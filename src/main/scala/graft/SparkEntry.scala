@@ -474,6 +474,26 @@ object SparkEntry {
         .orderBy(col("emp"), col("mgr"))
     }),
 
+    // INCREMENTAL transitive closure: the reportsTo edges split into a
+    // standing half (even employees, closed first with closePairs) and a
+    // delta half (odd employees); pathPlusIncremental must produce the
+    // closure of the WHOLE tree — same recursive-CTE oracle as
+    // kg_path_reachable, so incremental == from-scratch is checked
+    // independently of our own closure code
+    "kg_path_incr" -> ((s, dir) => {
+      val g = persistedGraph(s, "org|" + dir)(
+        ExtractPipeline.canonicalize(
+          ExtractPipeline.extract(graft.spark.Transcripts.orgChart(s, dir))))
+      val edges = g.df
+        .filter(col("pred") === "http://schema.org/reportsTo" && col("obj_iri").isNotNull)
+        .select(col("subj").as("s"), col("obj_iri").as("o"))
+      val srcKey = substring_index(col("s"), "/", -1).cast("long")
+      val closed = graft.spark.GraphQuery.closePairs(edges.filter(srcKey % 2 === 0))
+      graft.spark.GraphQuery.pathPlusIncremental(closed, edges.filter(srcKey % 2 === 1))
+        .select(col("s").as("emp"), col("o").as("mgr"))
+        .orderBy(col("emp"), col("mgr"))
+    }),
+
     // property-path SEQUENCE with a closure inside (reportsTo+/name): the
     // names of every transitive manager per employee — Plus's semi-naive
     // fixpoint feeding a hop join into the literal-terminal name step,
@@ -1599,6 +1619,18 @@ object SparkEntry {
       // recursive CTE mirrors pathPlus's fixpoint; UNION (distinct)
       // terminates on the same novelty condition the anti-join does
       "kg_path_reachable" ->
+        """WITH RECURSIVE e AS (
+          |  SELECT 'http://ex.org/emp/' || CAST(c_custkey AS VARCHAR) AS s,
+          |         'http://ex.org/emp/' || CAST(c_custkey // 2 AS VARCHAR) AS o
+          |  FROM customer WHERE c_custkey > 1),
+          |r AS (SELECT s, o FROM e
+          |      UNION
+          |      SELECT r.s, e.o FROM r JOIN e ON r.o = e.s)
+          |SELECT s AS emp, o AS mgr FROM r ORDER BY emp, mgr""".stripMargin,
+
+      // incremental == from-scratch: the same full-tree recursive CTE as
+      // kg_path_reachable
+      "kg_path_incr" ->
         """WITH RECURSIVE e AS (
           |  SELECT 'http://ex.org/emp/' || CAST(c_custkey AS VARCHAR) AS s,
           |         'http://ex.org/emp/' || CAST(c_custkey // 2 AS VARCHAR) AS o

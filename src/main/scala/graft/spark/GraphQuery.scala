@@ -532,6 +532,42 @@ object GraphQuery {
     seminaiveClosure(edges, edges, maxIterations, preds.mkString("|"))
   }
 
+  /** Transitive closure of a bare (s, o) edge frame — [[pathPlus]] without
+    * the predicate-slice front end, for callers that already hold edges
+    * (entity-link outputs, diff batches). Same semi-naive machinery and
+    * the same THROW on a live frontier at the iteration cap.
+    */
+  def closePairs(edges: DataFrame, maxIterations: Int = 64): DataFrame = {
+    val e = edges.select(col("s"), col("o")).distinct()
+    seminaiveClosure(e, e, maxIterations, "closePairs")
+  }
+
+  /** INCREMENTAL transitive-closure maintenance — the path twin of
+    * [[Entailment.owlEntailIncremental]]: given the CLOSED pair set of a
+    * relation (a [[pathPlus]]/[[closePairs]] output, columns (s, o)) and a
+    * batch of NEW hop edges, return the closure of (old ∪ new) while
+    * exploring only paths that USE a new edge.
+    *
+    * Every genuinely new pair decomposes as `C? ∘ (Δ ∘ (C ∪ Δ)*)` — any
+    * old-edge subpath collapses to ONE closed pair because C is already
+    * transitively closed. So: a semi-naive right-extension seeded at Δ
+    * over the edge set C ∪ Δ (suffix paths alternate single C-pairs and
+    * Δ-hops), then ONE prefix join with C. Per-batch cost scales with the
+    * delta's reachability cone, never the standing closure — the
+    * continuously-maintained-KG shape at 100 TB.
+    */
+  def pathPlusIncremental(closedPairs: DataFrame, newEdges: DataFrame,
+                          maxIterations: Int = 64): DataFrame = {
+    val c = closedPairs.select(col("s"), col("o")).localCheckpoint()
+    val d = newEdges.select(col("s"), col("o")).distinct()
+    val r = c.union(d).distinct()
+    val suffix = seminaiveClosure(r, d, maxIterations, "pathPlusIncremental")
+      .localCheckpoint()
+    val prefixed = c.as("pc").join(suffix.as("px"), col("pc.o") === col("px.s"))
+      .select(col("pc.s").as("s"), col("px.o").as("o"))
+    c.union(suffix).union(prefixed).distinct()
+  }
+
   /** Semi-naive transitive expansion — the shared fixpoint core of
     * [[pathPlusAlt]] and the [[Path.Plus]]/[[Path.Star]] cases of
     * [[evalPath]]: grow `seed` by repeatedly joining the newest DELTA (only)

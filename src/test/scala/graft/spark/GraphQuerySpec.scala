@@ -772,6 +772,54 @@ class GraphQuerySpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // incremental transitive closure
+  // ------------------------------------------------------------------
+
+  private def edgeDf(rows: (String, String)*) =
+    rows.toDF("s", "o")
+
+  test("pathPlusIncremental: extending a chain equals the from-scratch closure") {
+    val closed = GraphQuery.closePairs(edgeDf("a" -> "b", "b" -> "c"))
+    val out = pairs(GraphQuery.pathPlusIncremental(closed, edgeDf("c" -> "d")))
+    val scratch = pairs(GraphQuery.closePairs(
+      edgeDf("a" -> "b", "b" -> "c", "c" -> "d")))
+    assert(out == scratch)
+    assert(out.contains("a" -> "d")) // old prefix ∘ new edge
+  }
+
+  test("pathPlusIncremental: a bridge between two old components closes across it") {
+    // two closed chains a→b and c→d; the delta bridges b→c
+    val closed = GraphQuery.closePairs(edgeDf("a" -> "b", "c" -> "d"))
+    val out = pairs(GraphQuery.pathPlusIncremental(closed, edgeDf("b" -> "c")))
+    assert(out == pairs(GraphQuery.closePairs(
+      edgeDf("a" -> "b", "c" -> "d", "b" -> "c"))))
+    assert(out.contains("a" -> "d")) // old ∘ new ∘ old
+  }
+
+  test("pathPlusIncremental: alternating old/new hops and a delta-only component") {
+    val closed = GraphQuery.closePairs(edgeDf("a" -> "b", "c" -> "d"))
+    val delta = edgeDf("b" -> "c", "d" -> "e", "x" -> "y") // x→y is new territory
+    val out = pairs(GraphQuery.pathPlusIncremental(closed, delta))
+    assert(out == pairs(GraphQuery.closePairs(
+      edgeDf("a" -> "b", "c" -> "d", "b" -> "c", "d" -> "e", "x" -> "y"))))
+    assert(out.contains("a" -> "e") && out.contains("x" -> "y"))
+  }
+
+  test("pathPlusIncremental: an empty delta returns the standing closure") {
+    val closed = GraphQuery.closePairs(edgeDf("a" -> "b", "b" -> "c"))
+    val out = pairs(GraphQuery.pathPlusIncremental(closed, edgeDf()))
+    assert(out == pairs(closed))
+  }
+
+  test("pathPlusIncremental: a cycle-creating delta closes the strongly-connected set") {
+    val closed = GraphQuery.closePairs(edgeDf("a" -> "b", "b" -> "c"))
+    val out = pairs(GraphQuery.pathPlusIncremental(closed, edgeDf("c" -> "a")))
+    assert(out == pairs(GraphQuery.closePairs(
+      edgeDf("a" -> "b", "b" -> "c", "c" -> "a"))))
+    assert(out.contains("a" -> "a"))
+  }
+
+  // ------------------------------------------------------------------
   // path surface syntax (PathParser) and the CLI route
   // ------------------------------------------------------------------
 
