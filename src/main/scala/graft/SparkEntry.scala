@@ -474,6 +474,26 @@ object SparkEntry {
         .orderBy(col("emp"), col("mgr"))
     }),
 
+    // INCREMENTAL component maintenance: the org tree's reportsTo edges
+    // split even/odd — CC over the even half leaves a forest of fragments,
+    // then ConnectedComponents.incremental merges in the odd half through
+    // the quotient graph; the result must be ONE component rooted at the
+    // min IRI with every employee in it (from-scratch shape, reached
+    // incrementally)
+    "kg_cc_incr" -> ((s, dir) => {
+      val g = persistedGraph(s, "org|" + dir)(
+        ExtractPipeline.canonicalize(
+          ExtractPipeline.extract(graft.spark.Transcripts.orgChart(s, dir))))
+      val edges = g.df
+        .filter(col("pred") === "http://schema.org/reportsTo" && col("obj_iri").isNotNull)
+        .select(col("subj").as("src"), col("obj_iri").as("dst"))
+      val srcKey = substring_index(col("src"), "/", -1).cast("long")
+      val labels = graft.spark.ConnectedComponents.run(edges.filter(srcKey % 2 === 0))
+      graft.spark.ConnectedComponents.incremental(labels, edges.filter(srcKey % 2 === 1))
+        .groupBy(col("component")).agg(count(lit(1)).as("component_size"))
+        .orderBy(col("component"))
+    }),
+
     // INCREMENTAL transitive closure: the reportsTo edges split into a
     // standing half (even employees, closed first with closePairs) and a
     // delta half (odd employees); pathPlusIncremental must produce the
@@ -1627,6 +1647,15 @@ object SparkEntry {
           |      UNION
           |      SELECT r.s, e.o FROM r JOIN e ON r.o = e.s)
           |SELECT s AS emp, o AS mgr FROM r ORDER BY emp, mgr""".stripMargin,
+
+      // one merged component rooted at the min employee IRI. Node set =
+      // custkeys ≥ 1: each k > 1 is an edge src, 1 is the root's dst;
+      // custkey 0 has no reportsTo edge and no child (k div 2 = 0 only for
+      // k = 1, which emits no edge), so it never enters the graph
+      "kg_cc_incr" ->
+        """SELECT 'http://ex.org/emp/1' AS component,
+          |  count(*) AS component_size
+          |FROM customer WHERE c_custkey >= 1 ORDER BY component""".stripMargin,
 
       // incremental == from-scratch: the same full-tree recursive CTE as
       // kg_path_reachable

@@ -71,6 +71,59 @@ object ConnectedComponents {
     else runDistributed(raw, n, maxIterations, checkpointInterval, maxEdgesPerInitTask)
   }
 
+  /** INCREMENTAL component maintenance — the linking/dedup twin of
+    * [[Entailment.owlEntailIncremental]]: given a standing
+    * `(node, component)` assignment (a [[run]] output — every component
+    * label is the min member id, and is itself a node labeled with
+    * itself) and a batch of NEW edges, return the assignment for the
+    * union graph WITHOUT re-clustering the corpus.
+    *
+    * The standing assignment is a contraction certificate: every old path
+    * collapses into "same label", so only the QUOTIENT graph needs
+    * solving — the new edges with endpoints mapped to their current
+    * labels. Merged quotient classes elect the min over old labels and
+    * new node ids, which IS the global min of the merged component
+    * (each old label is already its component's min member), so
+    * incremental output is bit-identical to a from-scratch [[run]].
+    *
+    * Scale shape per crawl batch: the standing labels are semi-join
+    * FILTERED to the delta's endpoints before the mapping joins (the big
+    * table streams map-side against the endpoint set), the quotient
+    * [[run]] sees a delta-sized graph, and the final remap is one join of
+    * the labels against the delta-sized (old label → new label) moves —
+    * nothing scales with corpus size except two co-partitioned passes
+    * over the label table.
+    */
+  def incremental(labels: DataFrame, newEdges: DataFrame,
+                  maxIterations: Int = 64, checkpointInterval: Int = 5,
+                  unionFindMaxEdges: Long = 10000000L,
+                  maxEdgesPerInitTask: Long = 2000000L): DataFrame = {
+    val l = labels.select(col("node"), col("component")).localCheckpoint()
+    val e = newEdges.select(col("src").cast("string"), col("dst").cast("string"))
+      .localCheckpoint()
+    if (e.isEmpty) return l
+    // the slice of the standing labels the delta can touch
+    val endpoints = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val sub = l.join(endpoints, Seq("node"), "left_semi")
+    val mapped = e
+      .join(sub.select(col("node").as("src"), col("component").as("sc")), Seq("src"), "left")
+      .join(sub.select(col("node").as("dst"), col("component").as("dc")), Seq("dst"), "left")
+      .select(coalesce(col("sc"), col("src")).as("src"),
+        coalesce(col("dc"), col("dst")).as("dst"))
+    // quotient components: nodes are old labels and brand-new ids
+    val q = run(mapped, maxIterations, checkpointInterval,
+      unionFindMaxEdges, maxEdgesPerInitTask).localCheckpoint()
+    // old nodes follow their label's move (untouched labels keep)
+    val moves = q.select(col("node").as("component"), col("component").as("qc"))
+    val olds = l.join(moves, Seq("component"), "left")
+      .select(col("node"), coalesce(col("qc"), col("component")).as("component"))
+    // nodes first seen in this batch
+    val fresh = q.join(l.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("component"))
+    olds.unionByName(fresh)
+  }
+
   /** UTF-8 byte order — the order Spark's `min` on UTF8String AND the
     * DuckDB oracles use. Java String.compareTo (UTF-16 code units) DIFFERS
     * on supplementary-plane characters (surrogates 0xD800+ sort below

@@ -453,4 +453,54 @@ class ComponentsSpec extends AnyFunSuite {
     val r2 = MultimodalOps.resize(media, maxDim = 100).collect().map(_.payload.toSeq)
     assert(resized.collect().map(_.payload.toSeq).toSeq == r2.toSeq)
   }
+
+  // ---- incremental component maintenance ----
+
+  private def ccSet(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+    df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+  test("ConnectedComponents.incremental equals from-scratch on a component merge") {
+    val oldE = Seq(("a1", "a2"), ("b1", "b2")).toDF("src", "dst")
+    val newE = Seq(("a2", "b1")).toDF("src", "dst") // merges the two
+    val labels = ConnectedComponents.run(oldE)
+    val incr = ccSet(ConnectedComponents.incremental(labels, newE))
+    val scratch = ccSet(ConnectedComponents.run(oldE.union(newE)))
+    assert(incr == scratch)
+    assert(incr.forall(_._2 == "a1")) // merged min label
+  }
+
+  test("ConnectedComponents.incremental: new nodes, untouched components, intra-component delta") {
+    val oldE = Seq(("a1", "a2"), ("b1", "b2"), ("c1", "c2")).toDF("src", "dst")
+    val newE = Seq(
+      ("a1", "a2"),  // intra-component: must change nothing
+      ("b2", "x9"),  // attaches a brand-new node to b's component
+      ("z1", "z2")   // a wholly new component
+    ).toDF("src", "dst")
+    val labels = ConnectedComponents.run(oldE)
+    val incr = ccSet(ConnectedComponents.incremental(labels, newE))
+    val scratch = ccSet(ConnectedComponents.run(oldE.union(newE)))
+    assert(incr == scratch)
+    assert(incr.contains(("x9", "b1")) && incr.contains(("z2", "z1")))
+    assert(incr.contains(("c1", "c1")) && incr.contains(("c2", "c1"))) // untouched
+  }
+
+  test("ConnectedComponents.incremental: empty delta returns the standing labels") {
+    val oldE = Seq(("a1", "a2")).toDF("src", "dst")
+    val labels = ConnectedComponents.run(oldE)
+    val incr = ConnectedComponents.incremental(labels,
+      Seq.empty[(String, String)].toDF("src", "dst"))
+    assert(ccSet(incr) == ccSet(labels))
+  }
+
+  test("ConnectedComponents.incremental: chained merges across several old components") {
+    // delta chains four standing components through new bridge nodes —
+    // the quotient graph itself needs multi-hop resolution
+    val oldE = Seq(("a1", "a2"), ("b1", "b2"), ("c1", "c2"), ("d1", "d2"))
+      .toDF("src", "dst")
+    val newE = Seq(("a2", "b1"), ("b2", "c1"), ("c2", "d1")).toDF("src", "dst")
+    val labels = ConnectedComponents.run(oldE)
+    val incr = ccSet(ConnectedComponents.incremental(labels, newE))
+    assert(incr == ccSet(ConnectedComponents.run(oldE.union(newE))))
+    assert(incr.map(_._2) == Set("a1"))
+  }
 }
