@@ -94,7 +94,7 @@ object Bench {
     // measured BEFORE the query loop: after ~150 generated query plans the
     // JVM code cache fills and fresh codegen can run deoptimized, which
     // once inflated the LCG side ~9x vs its standalone timing.
-    import org.apache.spark.sql.functions.{col, size => asize, sum => asum}
+    import org.apache.spark.sql.functions.{col, substring_index, size => asize, sum => asum}
     // whole block failure-tolerant like the per-query loop: a missing or
     // empty embeddings table must not abort the bench (−1 marks the line
     // unusable)
@@ -113,6 +113,33 @@ object Bench {
         (lshSecs(None), lshSecs(Some(dim)))
       } catch {
         case e: Throwable => System.err.println(s"[bench] lsh: $e"); (-1.0, -1.0)
+      }
+
+    // incremental maintenance vs from-scratch: the org tree's transitive
+    // closure with a ~1% edge delta folded into a STANDING closure (the
+    // nightly-crawl shape) vs re-closing everything. Evidence only —
+    // correctness is kg_path_incr's oracle gate; the standing closure is
+    // untimed setup (a deployment already has it).
+    val (incrScratch, incrDelta) =
+      try if (only.isDefined) (-1.0, -1.0) else {
+        val edges = ExtractPipeline.canonicalize(ExtractPipeline.extract(
+            Transcripts.orgChart(spark, sfDir))).toDF()
+          .filter(col("pred") === "http://schema.org/reportsTo" && col("obj_iri").isNotNull)
+          .select(col("subj").as("s"), col("obj_iri").as("o")).localCheckpoint()
+        val key = substring_index(col("s"), "/", -1).cast("long")
+        val closed = graft.spark.GraphQuery.closePairs(edges.filter(key % 128 =!= 1))
+          .localCheckpoint()
+        closed.count()
+        val scratch = median((0 until Samples).map(_ => timeIt {
+          graft.spark.GraphQuery.closePairs(edges).count()
+        }._2))
+        val incr = median((0 until Samples).map(_ => timeIt {
+          graft.spark.GraphQuery.pathPlusIncremental(closed, edges.filter(key % 128 === 1))
+            .count()
+        }._2))
+        (scratch, incr)
+      } catch {
+        case e: Throwable => System.err.println(s"[bench] incr: $e"); (-1.0, -1.0)
       }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -134,7 +161,8 @@ object Bench {
     val totalStr = f"$total%.3f"
     val exStr = f"$extractSecs%.3f"
     val lshSpeedup = if (lshLcg > 0 && lshStored > 0) lshLcg / lshStored else -1.0
-    val lshStr = f""""lsh_lcg_secs":$lshLcg%.3f,"lsh_stored_secs":$lshStored%.3f,"lsh_stored_speedup":$lshSpeedup%.2f"""
+    val incrSpeedup = if (incrScratch > 0 && incrDelta > 0) incrScratch / incrDelta else -1.0
+    val lshStr = f""""lsh_lcg_secs":$lshLcg%.3f,"lsh_stored_secs":$lshStored%.3f,"lsh_stored_speedup":$lshSpeedup%.2f,"incr_scratch_secs":$incrScratch%.3f,"incr_delta_secs":$incrDelta%.3f,"incr_speedup":$incrSpeedup%.2f"""
     val json =
       s"""{"metric":"total","value":$totalStr,"unit":"sec","samples":$Samples,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"sf":"$sfDir","extract_turns":$nTurns,"extract_triples":$triples,"extract_secs":$exStr,"triples_per_sec":$tps,$lshStr}"""
     // machine-readable in two redundant ways (round-1 driver parse failed

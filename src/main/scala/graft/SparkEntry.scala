@@ -474,6 +474,28 @@ object SparkEntry {
         .orderBy(col("emp"), col("mgr"))
     }),
 
+    // INCREMENTAL entity linking end-to-end: the mention corpus splits by
+    // turn — turns 1-2 build the standing link state, turns 3-4 arrive as
+    // the crawl batch through mentionLinkStateIncremental (shared contact
+    // keys bridge the batches), and the full corpus rewrites through the
+    // updated state's mapping. Canonical ids are min skolems across ALL
+    // four mentions, so the oracle (independent sha256 derivation) only
+    // matches if the cross-batch merges actually happened
+    "kg_link_incr" -> ((s, dir) => {
+      val contact = Seq("http://schema.org/contact")
+      val all = ExtractPipeline.extract(Transcripts.mentions(s, dir)).localCheckpoint()
+      import s.implicits._
+      val standing = all.filter(col("turn_idx") <= 2).as[Triple]
+      val delta = all.filter(col("turn_idx") >= 3).as[Triple]
+      val state = graft.spark.EntityLink.mentionLinkStateIncremental(
+        graft.spark.EntityLink.mentionLinkState(standing, contact), delta, contact)
+      graft.spark.EntityLink.rewriteWithMapping(all,
+          graft.spark.EntityLink.mappingFromState(state).localCheckpoint())
+        .filter(col("pred") === contact.head)
+        .select(col("subj"), col("obj_lexical").as("contact"))
+        .orderBy(col("subj"), col("contact"))
+    }),
+
     // INCREMENTAL component maintenance: the org tree's reportsTo edges
     // split even/odd — CC over the even half leaves a forest of fragments,
     // then ConnectedComponents.incremental merges in the odd half through
@@ -1220,6 +1242,19 @@ object SparkEntry {
           |FROM customer ORDER BY component_size""".stripMargin,
 
       "kg_canonical_contacts" ->
+        """WITH sk AS (
+          |  SELECT c_custkey AS k,
+          |         'did:skolem:' || substr(sha256('mconv-' || c_custkey || '#' || j || '|1'), 1, 32) AS skolem
+          |  FROM customer, unnest([1, 2, 3, 4]) AS t(j)),
+          |canon AS (SELECT k, MIN(skolem) AS subj FROM sk GROUP BY k)
+          |SELECT subj, 'key-' || k || '-' || v AS contact
+          |FROM canon, unnest([1, 2, 3, 4, 5]) AS u(v)
+          |ORDER BY subj, contact""".stripMargin,
+
+      // same derivation as kg_canonical_contacts: the canonical id is the
+      // min skolem over all four mentions, reachable only if the
+      // incremental state merged the turn-3/4 batch into the standing one
+      "kg_link_incr" ->
         """WITH sk AS (
           |  SELECT c_custkey AS k,
           |         'did:skolem:' || substr(sha256('mconv-' || c_custkey || '#' || j || '|1'), 1, 32) AS skolem

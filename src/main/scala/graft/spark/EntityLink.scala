@@ -35,15 +35,28 @@ object EntityLink {
     * bucket exceeds ~maxKeyDegree.
     */
   def mentionMapping(triples: Dataset[Triple], keyPredicates: Seq[String],
-                     maxKeyDegree: Int = 100000): DataFrame = {
-    // mention→key pairs; key nodes are namespaced so they can't collide
-    // with subject ids in the CC node space. The U+0000 separator is made
-    // INJECTIVE by escape-then-delimit (U+0001 is the escape: 01→ 0101,
-    // 00→ 0102): extraction already maps NUL to U+FFFD per the HTML spec,
-    // but triples can also arrive from N-Triples files whose \\u0000 escapes
-    // smuggle a raw NUL into pred/lexical — without this, (P, "a\\0b") and
-    // ("P\\0a", b) would share a key and silently merge unrelated entities.
-    // (All escapes are source escape sequences; the file stays plain text.)
+                     maxKeyDegree: Int = 100000): DataFrame =
+    mappingFromState(mentionLinkState(triples, keyPredicates, maxKeyDegree))
+
+  /** Blocking edges of the mention↔key graph — shared by the full build
+    * and incremental delta batches. Mention→key pairs; key nodes are
+    * namespaced so they can't collide with subject ids in the CC node
+    * space. The U+0000 separator is made INJECTIVE by escape-then-delimit
+    * (U+0001 is the escape: 01→ 0101, 00→ 0102): extraction already maps
+    * NUL to U+FFFD per the HTML spec, but triples can also arrive from
+    * N-Triples files whose \\u0000 escapes smuggle a raw NUL into
+    * pred/lexical — without this, (P, "a\\0b") and ("P\\0a", b) would
+    * share a key and silently merge unrelated entities. (All escapes are
+    * source escape sequences; the file stays plain text.)
+    *
+    * Sub-key NAMES are df-independent (`key\u0000i`), and a split key's
+    * RAW node is chained in as an anchor (raw → sub-key 0): a later batch
+    * that salts the same key differently (its own degree count) still
+    * lands on nodes connected to this batch's — incremental state merges
+    * stay exact however per-batch salting decisions drift.
+    */
+  private def linkEdges(triples: Dataset[Triple], keyPredicates: Seq[String],
+                        maxKeyDegree: Int): DataFrame = {
     def escSep(c: org.apache.spark.sql.Column) =
       regexp_replace(regexp_replace(c, "\u0001", "\u0001\u0001"), "\u0000", "\u0001\u0002")
     val mk = triples
@@ -59,15 +72,48 @@ object EntityLink {
         when(col("n_salts") <= 1, col("key"))
           .otherwise(concat(col("key"), lit("\u0000"),
             pmod(hash(col("src")), col("n_salts")).cast("string"))).as("dst"))
-    // chain the sub-keys of each split key: K#0 - K#1 - ... - K#(n-1)
+    // chain the sub-keys of each split key: K#0 - K#1 - ... - K#(n-1),
+    // plus the raw-key ANCHOR K - K#0 (cross-batch connectivity)
     val chains = deg.filter(col("n_salts") > 1)
       .select(col("key"), explode(sequence(lit(0), col("n_salts") - 2)).as("i"))
       .select(concat(col("key"), lit("\u0000"), col("i").cast("string")).as("src"),
         concat(col("key"), lit("\u0000"), (col("i") + 1).cast("string")).as("dst"))
-    val cc = ConnectedComponents.run(withSalt.unionByName(chains))
-    // canonical = min *subject* in the component (keys sort after skolems
-    // only by accident, so take min over subjects explicitly)
-    val subjects = cc.filter(col("node").startsWith(graft.core.Extractor.SkolemPrefix))
+    val anchors = deg.filter(col("n_salts") > 1)
+      .select(col("key").as("src"),
+        concat(col("key"), lit("\u00000")).as("dst"))
+    withSalt.unionByName(chains).unionByName(anchors)
+  }
+
+  /** The full linking STATE: (node, component) labels over the mention↔key
+    * graph, key nodes included — what [[mentionLinkStateIncremental]]
+    * maintains batch over batch. Deployments persist THIS between crawl
+    * batches (not just the subject projection), because merges arrive
+    * through shared KEY nodes.
+    */
+  def mentionLinkState(triples: Dataset[Triple], keyPredicates: Seq[String],
+                       maxKeyDegree: Int = 100000): DataFrame =
+    ConnectedComponents.run(linkEdges(triples, keyPredicates, maxKeyDegree))
+
+  /** Fold one batch of new mention triples into a standing linking state:
+    * the batch's blocking edges run through
+    * [[ConnectedComponents.incremental]], so the cost scales with the
+    * batch, never the corpus. New mentions sharing a key (or a salted
+    * sub-key, or the raw anchor of a previously split key) with standing
+    * mentions merge into their components exactly as a from-scratch
+    * rebuild would.
+    */
+  def mentionLinkStateIncremental(state: DataFrame, newTriples: Dataset[Triple],
+                                  keyPredicates: Seq[String],
+                                  maxKeyDegree: Int = 100000): DataFrame =
+    ConnectedComponents.incremental(state,
+      linkEdges(newTriples, keyPredicates, maxKeyDegree))
+
+  /** (subj, canonical) projection of a linking state: canonical = min
+    * *subject* in the component (keys sort after skolems only by accident,
+    * so take min over subjects explicitly).
+    */
+  def mappingFromState(state: DataFrame): DataFrame = {
+    val subjects = state.filter(col("node").startsWith(graft.core.Extractor.SkolemPrefix))
     val canon = subjects.groupBy(col("component"))
       .agg(min(col("node")).as("canonical"))
     subjects.join(canon, "component")
@@ -84,12 +130,20 @@ object EntityLink {
     * rows (itemid subjects, literal objects) pass through join-free. This
     * also keeps null obj_iri keys out of the object join entirely.
     */
-  def canonicalize(triples: Dataset[Triple], keyPredicates: Seq[String]): Dataset[Triple] = {
+  def canonicalize(triples: Dataset[Triple], keyPredicates: Seq[String]): Dataset[Triple] =
+    // materialized once: the mapping subtree feeds BOTH rewrite joins
+    rewriteWithMapping(triples, mentionMapping(triples, keyPredicates).localCheckpoint())
+
+  /** The rewrite half of [[canonicalize]] with a caller-supplied mapping —
+    * the incremental path's entry point (a standing state updated by
+    * [[mentionLinkStateIncremental]] projects through [[mappingFromState]]
+    * and rewrites here). The mapping frame should be materialized
+    * (localCheckpoint) by the caller: both joins consume it.
+    */
+  def rewriteWithMapping(triples: Dataset[Triple], mapping: DataFrame): Dataset[Triple] = {
     val spark = triples.sparkSession
     import spark.implicits._
     val skolemPfx = graft.core.Extractor.SkolemPrefix
-    // materialized once: the mapping subtree feeds BOTH rewrite joins below
-    val mapping = mentionMapping(triples, keyPredicates).localCheckpoint()
 
     val subjSkolem = triples.filter(col("subj").startsWith(skolemPfx))
     val subjPass = triples.filter(!col("subj").startsWith(skolemPfx)).toDF()

@@ -492,6 +492,32 @@ class ComponentsSpec extends AnyFunSuite {
     assert(ccSet(incr) == ccSet(labels))
   }
 
+  test("EntityLink incremental: a hot key salted differently across batches still merges") {
+    import graft.model.Triple
+    val pfx = graft.core.Extractor.SkolemPrefix
+    def mention(id: String, key: String) =
+      Triple(pfx + id, "p", null, key, null, null, "c", 0)
+    // standing batch: 5 mentions on key K — maxKeyDegree=2 splits K into
+    // sub-keys (raw-K anchor chained in); delta: ONE mention on K, whose
+    // own degree count leaves it unsalted → it lands on the raw K node
+    val standing = (1 to 5).map(i => mention(s"a$i", "K")).toDS()
+    val delta = Seq(mention("zz", "K")).toDS()
+    val st = EntityLink.mentionLinkStateIncremental(
+      EntityLink.mentionLinkState(standing, Seq("p"), maxKeyDegree = 2),
+      delta, Seq("p"), maxKeyDegree = 2)
+    val m = EntityLink.mappingFromState(st).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(m.size == 6 && m.values.toSet.size == 1)
+    assert(m(pfx + "zz") == m(pfx + "a1"))
+    // reverse direction: standing unsalted, delta splits the key
+    val st2 = EntityLink.mentionLinkStateIncremental(
+      EntityLink.mentionLinkState(delta, Seq("p"), maxKeyDegree = 2),
+      standing, Seq("p"), maxKeyDegree = 2)
+    val m2 = EntityLink.mappingFromState(st2).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(m2.size == 6 && m2.values.toSet.size == 1)
+  }
+
   test("ConnectedComponents.incremental: chained merges across several old components") {
     // delta chains four standing components through new bridge nodes —
     // the quotient graph itself needs multi-hop resolution
