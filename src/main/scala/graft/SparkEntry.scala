@@ -112,6 +112,35 @@ object SparkEntry {
     graft.spark.GraphQuery.loadBucketedGraph(s, (if (prev != null) prev else holder)())
   }
 
+  /** Standing crawl root for kg_crawl_incr: the mention corpus folded in
+    * two turn-sliced batches through [[graft.spark.IncrementalGraph]]
+    * (raw-graph novel append + versioned link state on disk). Folding is
+    * idempotent, so the holder cache is a cost-saver, not a correctness
+    * requirement.
+    */
+  private val crawlRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, () => String]()
+  private def crawlRoot(s: SparkSession, dir: String): String = {
+    val holder = new (() => String) {
+      lazy val value: String = {
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        val root = graphTmpBase.resolve(s"c$key").toString
+        import s.implicits._
+        val contact = Seq("http://schema.org/contact")
+        val all = ExtractPipeline.extract(Transcripts.mentions(s, dir)).localCheckpoint()
+        graft.spark.IncrementalGraph.foldBatch(
+          all.filter(col("turn_idx") <= 2).as[Triple], root, linkKeys = contact)
+        graft.spark.IncrementalGraph.foldBatch(
+          all.filter(col("turn_idx") >= 3).as[Triple], root, linkKeys = contact)
+        root
+      }
+      def apply(): String = value
+    }
+    val prev = crawlRoots.putIfAbsent(dir, holder)
+    (if (prev != null) prev else holder)()
+  }
+
   /** Flagship: full extraction pipeline over all three transcript shapes
     * at sf=0.001; driver smoke-checks rows>0.
     */
@@ -492,6 +521,19 @@ object SparkEntry {
       graft.spark.EntityLink.rewriteWithMapping(all,
           graft.spark.EntityLink.mappingFromState(state).localCheckpoint())
         .filter(col("pred") === contact.head)
+        .select(col("subj"), col("obj_lexical").as("contact"))
+        .orderBy(col("subj"), col("contact"))
+    }),
+
+    // the NIGHTLY-CRAWL composition end-to-end THROUGH DISK: two mention
+    // deltas fold into a standing root (novel-append raw graph + versioned
+    // link state via IncrementalGraph/LinkStateStore — the IncrementalMain
+    // path), then the canonical view reads back raw graph ∘ persisted
+    // mapping. Same oracle derivation as kg_link_incr, so the gate passes
+    // only if the cross-batch merges survive the store round-trip
+    "kg_crawl_incr" -> ((s, dir) => {
+      graft.spark.IncrementalGraph.readCanonical(s, crawlRoot(s, dir))
+        .filter(col("pred") === "http://schema.org/contact")
         .select(col("subj"), col("obj_lexical").as("contact"))
         .orderBy(col("subj"), col("contact"))
     }),
@@ -1254,6 +1296,20 @@ object SparkEntry {
       // same derivation as kg_canonical_contacts: the canonical id is the
       // min skolem over all four mentions, reachable only if the
       // incremental state merged the turn-3/4 batch into the standing one
+      // identical independent derivation for the through-disk crawl
+      // composition (the canonical id is the min skolem over all four
+      // mentions — reachable only if the second batch's merges survived
+      // the LinkStateStore round-trip)
+      "kg_crawl_incr" ->
+        """WITH sk AS (
+          |  SELECT c_custkey AS k,
+          |         'did:skolem:' || substr(sha256('mconv-' || c_custkey || '#' || j || '|1'), 1, 32) AS skolem
+          |  FROM customer, unnest([1, 2, 3, 4]) AS t(j)),
+          |canon AS (SELECT k, MIN(skolem) AS subj FROM sk GROUP BY k)
+          |SELECT subj, 'key-' || k || '-' || v AS contact
+          |FROM canon, unnest([1, 2, 3, 4, 5]) AS u(v)
+          |ORDER BY subj, contact""".stripMargin,
+
       "kg_link_incr" ->
         """WITH sk AS (
           |  SELECT c_custkey AS k,

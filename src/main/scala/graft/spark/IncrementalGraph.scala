@@ -1,0 +1,198 @@
+package graft.spark
+
+import graft.model.Triple
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The NIGHTLY-CRAWL composition: fold one delta batch of extracted triples
+  * into a standing graph root, maintaining every standing artifact
+  * incrementally — the deployment shape the four incremental operators
+  * ([[ExtractPipeline.graphDiff]]-style novelty append,
+  * [[EntityLink.mentionLinkStateIncremental]],
+  * [[Entailment.owlEntailIncremental]]) exist for. Driven from spark-submit
+  * by [[graft.IncrementalMain]].
+  *
+  * Standing layout under `root` (all through the [[TableIO]] seam):
+  *
+  *  - `graph/` — RAW triples under `batch_id=<id>/pred_bucket=<m>`
+  *    partitions (the [[graft.streaming.StreamingExtract.sinkToGraph]]
+  *    layout, so [[GraphQuery.loadGraph]] opens it with pruning intact).
+  *    RAW, not entity-canonalized: skolem ids are content-addressed and
+  *    never change, so appended rows are immutable — a later merge can
+  *    change an entity's CANONICAL id, which must therefore be applied as
+  *    a read-time view ([[readCanonical]]), never baked into stored rows
+  *    (baked rows would need corpus-wide rewrites on every merge).
+  *  - `link_state/` — the standing `(node, component)` linking state,
+  *    versioned by [[LinkStateStore]] (when link keys are configured).
+  *  - `closure/` — the graph's entailment closure in the same batch
+  *    layout, appended novel-rows-only via
+  *    [[Entailment.owlEntailIncremental]] (when enabled).
+  *
+  * Per-batch cost: extraction of the delta, the delta-sized quotient CC,
+  * the closure's delta cone, plus identity anti-joins of the delta against
+  * the pred_bucket-PRUNED standing slice (only partitions whose bucket
+  * appears in the delta are read). Nothing recomputes from scratch.
+  *
+  * Crash-rerun is idempotent WITHOUT a manifest: triples are
+  * content-addressed, so a rerun's novelty anti-join skips whatever a
+  * half-written batch already landed and appends only the remainder under
+  * its own fresh batch_id — set semantics hold, nothing duplicates,
+  * nothing is lost. (The link-state fold is idempotent inside
+  * [[LinkStateStore]].)
+  */
+object IncrementalGraph {
+
+  final case class CrawlSummary(batchId: Long, newTriples: Long,
+                                newClosureTriples: Long, linkStateNodes: Long)
+
+  private val CrawlPrefix = "_graft_crawl/batch-"
+
+  /** Fold one delta batch into the standing root. `delta` should be the
+    * extracted (set-semantics) triples of the new transcripts — see
+    * [[graft.IncrementalMain]] for the CLI wiring.
+    */
+  def foldBatch(delta: Dataset[Triple], root: String, predBuckets: Int = 16,
+                linkKeys: Seq[String] = Nil, entail: Boolean = false,
+                maxKeyDegree: Int = 100000,
+                io: TableIO = TableIO.default): CrawlSummary = {
+    val spark = delta.sparkSession
+    val d = delta.dropDuplicates(Triple.identityCols).localCheckpoint()
+
+    val (newTriples, batchId) =
+      appendNovel(spark, d, s"$root/graph", predBuckets, io)
+
+    val linkNodes =
+      if (linkKeys.isEmpty) -1L
+      else LinkStateStore.fold(d, s"$root/link_state", batchId, linkKeys,
+        maxKeyDegree, io).count()
+
+    val closureNew =
+      if (!entail) -1L
+      else {
+        import spark.implicits._
+        val dir = s"$root/closure"
+        val novel = standing(spark, dir, io) match {
+          case None => Entailment.owlEntail(d)
+          case Some(closed) =>
+            // full new closure, then keep only rows the standing closure
+            // lacks — the append stays delta-cone-sized
+            val c = closed.localCheckpoint()
+            Entailment.owlEntailIncremental(c, d).as("n")
+              .join(c.as("o"), Triple.identityCond("n", "o"), "left_anti").as[Triple]
+        }
+        appendNovel(spark, novel, dir, predBuckets, io, knownBatchId = batchId)._1
+      }
+
+    // per-batch crawl mark: observability + lineage (which batch landed how
+    // much), atomic via the metadata seam
+    io.writeMetadata(spark, s"$root/graph", s"$CrawlPrefix$batchId",
+      s"""{"batch_id": $batchId, "new_triples": $newTriples, "new_closure_triples": $closureNew, "link_state_nodes": $linkNodes}""" + "\n")
+    CrawlSummary(batchId, newTriples, closureNew, linkNodes)
+  }
+
+  /** The standing triples of a batch-layout dir, if it exists (gated on the
+    * layout metadata — a foreign/absent dir folds like a first batch).
+    */
+  private def standing(spark: SparkSession, dir: String,
+                       io: TableIO): Option[Dataset[Triple]] = {
+    import spark.implicits._
+    // Try: a dir whose every committed batch was EMPTY has metadata but no
+    // data files — parquet schema inference then throws; fold as first batch
+    io.readMetadata(spark, dir, ExtractPipeline.LayoutFile).flatMap { _ =>
+      scala.util.Try {
+        io.read(spark, dir)
+          .select(col("subj"), col("pred"), col("obj_iri"), col("obj_lexical"),
+            col("obj_datatype"), col("obj_lang"), col("conv_id"), col("turn_idx"))
+          .as[Triple]
+      }.toOption
+    }
+  }
+
+  /** Append the delta's NOVEL rows (identity anti-join against the
+    * pred_bucket-pruned standing slice) under the next batch_id partition.
+    * Returns (rows written, batch id used).
+    */
+  private def appendNovel(spark: SparkSession, delta: Dataset[Triple], dir: String,
+                          predBuckets: Int, io: TableIO,
+                          knownBatchId: Long = -1L): (Long, Long) = {
+    val existing = standing(spark, dir, io)
+    val buckets = existing match {
+      case Some(_) =>
+        // the dir describes itself — a caller-supplied count that disagrees
+        // with the layout would corrupt pruning for every reader
+        bucketCount(spark, dir, io).getOrElse(predBuckets)
+      case None =>
+        io.writeMetadata(spark, dir, ExtractPipeline.LayoutFile,
+          s"""{"pred_buckets": $predBuckets}""" + "\n")
+        predBuckets
+    }
+    val batchId =
+      if (knownBatchId >= 0) knownBatchId
+      else existing.map(_ =>
+        // cast: the partition column may infer as int; coalesce: a standing
+        // dir whose every batch was empty still has metadata but no rows
+        io.read(spark, dir)
+          .agg(coalesce(max(col("batch_id")).cast("long"), lit(-1L)))
+          .head().getLong(0) + 1L
+      ).getOrElse(0L)
+
+    val novel = existing match {
+      case None => delta.toDF()
+      case Some(st) =>
+        // prune the standing side to the delta's own pred buckets before the
+        // identity anti-join: partitions whose bucket the delta never touches
+        // are never read (bucket count is registry-bounded, so the collect is
+        // catalog-sized)
+        val deltaBuckets = delta
+          .select(pmod(hash(col("pred")), lit(buckets)).as("b")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val slice = st.toDF().withColumn("pred_bucket",
+            pmod(hash(col("pred")), lit(buckets)))
+          .filter(col("pred_bucket").isin(deltaBuckets: _*))
+        delta.as("d").join(slice.as("a"), Triple.identityCond("d", "a"), "left_anti")
+    }
+    val written = ExtractPipeline.writeCounted(
+      novel.withColumn("batch_id", lit(batchId))
+        .withColumn("pred_bucket", pmod(hash(col("pred")), lit(buckets))),
+      io.overwritePartitions(_, dir, Seq("batch_id", "pred_bucket")))
+    (written, batchId)
+  }
+
+  private def bucketCount(spark: SparkSession, dir: String, io: TableIO): Option[Int] =
+    io.readMetadata(spark, dir, ExtractPipeline.LayoutFile).flatMap { json =>
+      scala.util.Try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+        Option(root.get("pred_buckets")).map(_.asInt(0)).filter(_ > 0)
+      }.toOption.flatten
+    }
+
+  /** Open the standing RAW graph for querying ([[GraphQuery.loadGraph]]
+    * semantics: pruning from the layout metadata, stats by one-pass scan).
+    */
+  def readGraph(spark: SparkSession, root: String,
+                io: TableIO = TableIO.default): GraphQuery.PersistedGraph =
+    GraphQuery.loadGraph(spark, s"$root/graph", io)
+
+  /** The CANONICAL view of the standing graph: raw triples rewritten
+    * through the standing link state's current mapping (the read-time
+    * canonicalization the RAW storage decision above requires). Falls back
+    * to the raw triples when no link state exists.
+    */
+  def readCanonical(spark: SparkSession, root: String,
+                    io: TableIO = TableIO.default): Dataset[Triple] = {
+    import spark.implicits._
+    val raw = readGraph(spark, root, io).df
+      .select(col("subj"), col("pred"), col("obj_iri"), col("obj_lexical"),
+        col("obj_datatype"), col("obj_lang"), col("conv_id"), col("turn_idx"))
+      .as[Triple]
+    LinkStateStore.loadMapping(spark, s"$root/link_state", io) match {
+      case Some(mapping) => EntityLink.rewriteWithMapping(raw, mapping.localCheckpoint())
+      case None => raw
+    }
+  }
+
+  /** The standing closure opened for querying (when maintained). */
+  def readClosure(spark: SparkSession, root: String,
+                  io: TableIO = TableIO.default): GraphQuery.PersistedGraph =
+    GraphQuery.loadGraph(spark, s"$root/closure", io)
+}

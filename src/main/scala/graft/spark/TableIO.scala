@@ -30,6 +30,12 @@ trait TableIO {
 
   def read(spark: SparkSession, table: String): DataFrame
 
+  /** Drop a whole table (version retention in [[LinkStateStore]]). Parquet:
+    * recursive delete of the directory; Iceberg: `DROP TABLE`. Must be a
+    * no-op when the table does not exist (retention races are benign).
+    */
+  def dropTable(spark: SparkSession, table: String): Unit
+
   /** Persist small table-scoped metadata (layout/stats JSON, resume marks)
     * under `name`, atomically: a torn write must never surface as a
     * half-written document. The parquet binding writes a `_`-prefixed
@@ -67,6 +73,12 @@ final class ParquetTableIO extends TableIO {
 
   override def read(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(table)
+
+  override def dropTable(spark: SparkSession, table: String): Unit = {
+    val hp = new Path(table)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(hp)) fs.delete(hp, true)
+  }
 
   // write-then-rename so a killed writer leaves no truncated file; the
   // delete/rename RESULTS are checked — on object stores a failed rename

@@ -97,6 +97,37 @@ object StreamingExtract {
       .start()
   }
 
+  /** CONTINUOUS entity-link-state maintenance — the streaming twin of
+    * [[graft.spark.EntityLink.mentionLinkState]] and the canonicalization
+    * half of the continuous-KG pair ([[sinkToGraph]] keeps the triples
+    * fresh; this keeps the identity clusters fresh): every triple
+    * micro-batch folds into the standing `(node, component)` state through
+    * [[graft.spark.EntityLink.mentionLinkStateIncremental]], so per-batch
+    * cost scales with the batch, never the corpus.
+    *
+    * State lives in `stateDir` under [[graft.spark.LinkStateStore]]'s
+    * version/pointer commit protocol — foreachBatch's at-least-once replay
+    * is absorbed there (re-folding a batch is a component-union no-op that
+    * rewrites its own version table), and a consumer rewrites triples any
+    * time via `LinkStateStore.loadMapping` →
+    * [[graft.spark.EntityLink.rewriteWithMapping]] without stopping the
+    * stream (the pointer flip is atomic; readers see the previous state
+    * until then).
+    */
+  def linkStateStream(triples: Dataset[Triple], stateDir: String, checkpointDir: String,
+                      keyPredicates: Seq[String], maxKeyDegree: Int = 100000,
+                      io: graft.spark.TableIO = graft.spark.TableIO.default)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    triples.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Triple], batchId: Long) =>
+        graft.spark.LinkStateStore.fold(batch, stateDir, batchId, keyPredicates,
+          maxKeyDegree, io)
+        ()
+      }
+      .start()
+
   // ---- stateful sessionization (custom per-key state) ----
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
