@@ -69,18 +69,9 @@ object IncrementalGraph {
     val closureNew =
       if (!entail) -1L
       else {
-        import spark.implicits._
         val dir = s"$root/closure"
-        val novel = standing(spark, dir, io) match {
-          case None => Entailment.owlEntail(d)
-          case Some(closed) =>
-            // full new closure, then keep only rows the standing closure
-            // lacks — the append stays delta-cone-sized
-            val c = closed.localCheckpoint()
-            Entailment.owlEntailIncremental(c, d).as("n")
-              .join(c.as("o"), Triple.identityCond("n", "o"), "left_anti").as[Triple]
-        }
-        appendNovel(spark, novel, dir, predBuckets, io, knownBatchId = batchId)._1
+        appendNovel(spark, closureDelta(d, dir, io), dir, predBuckets, io,
+          knownBatchId = batchId)._1
       }
 
     // per-batch crawl mark: observability + lineage (which batch landed how
@@ -108,13 +99,33 @@ object IncrementalGraph {
     }
   }
 
+  /** Compute the closure's NOVEL rows for one delta against a standing
+    * closure dir (first batch: the delta's own closure) — shared by
+    * [[foldBatch]] and the streaming maintainer
+    * ([[graft.streaming.StreamingExtract.closureStream]]).
+    */
+  private[graft] def closureDelta(delta: Dataset[Triple], dir: String,
+                                  io: TableIO): Dataset[Triple] = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    standing(spark, dir, io) match {
+      case None => Entailment.owlEntail(delta)
+      case Some(closed) =>
+        // full new closure, then keep only rows the standing closure
+        // lacks — the append stays delta-cone-sized
+        val c = closed.localCheckpoint()
+        Entailment.owlEntailIncremental(c, delta).as("n")
+          .join(c.as("o"), Triple.identityCond("n", "o"), "left_anti").as[Triple]
+    }
+  }
+
   /** Append the delta's NOVEL rows (identity anti-join against the
     * pred_bucket-pruned standing slice) under the next batch_id partition.
     * Returns (rows written, batch id used).
     */
-  private def appendNovel(spark: SparkSession, delta: Dataset[Triple], dir: String,
-                          predBuckets: Int, io: TableIO,
-                          knownBatchId: Long = -1L): (Long, Long) = {
+  private[graft] def appendNovel(spark: SparkSession, delta: Dataset[Triple], dir: String,
+                                 predBuckets: Int, io: TableIO,
+                                 knownBatchId: Long = -1L): (Long, Long) = {
     val existing = standing(spark, dir, io)
     val buckets = existing match {
       case Some(_) =>

@@ -128,6 +128,39 @@ object StreamingExtract {
       }
       .start()
 
+  /** CONTINUOUS entailment-closure maintenance — the third leg of the
+    * continuous-KG trio ([[sinkToGraph]] = triples, [[linkStateStream]] =
+    * identity clusters, this = derived facts): each micro-batch appends the
+    * closure's DELTA CONE to a standing closure dir via
+    * [[graft.spark.IncrementalGraph.closureDelta]]
+    * ([[graft.spark.Entailment.owlEntailIncremental]] inside — a schema
+    * edge arriving mid-stream replays the standing facts through just that
+    * edge). The dir is the batch_id/pred_bucket layout, so
+    * [[graft.spark.GraphQuery.loadGraph]] queries it with pruning intact
+    * at any point.
+    *
+    * Replay safety WITHOUT relying on the foreachBatch id: each fold
+    * appends under a fresh internal batch partition and its novelty
+    * anti-join skips whatever already landed — a replayed micro-batch adds
+    * only what its first attempt missed, never overwriting a partition
+    * that might hold earlier rows.
+    */
+  def closureStream(triples: Dataset[Triple], closureDir: String, checkpointDir: String,
+                    predBuckets: Int = 16,
+                    io: graft.spark.TableIO = graft.spark.TableIO.default)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    triples.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Triple], _: Long) =>
+        val d = batch.dropDuplicates(graft.model.Triple.identityCols).localCheckpoint()
+        graft.spark.IncrementalGraph.appendNovel(batch.sparkSession,
+          graft.spark.IncrementalGraph.closureDelta(d, closureDir, io),
+          closureDir, predBuckets, io)
+        ()
+      }
+      .start()
+
   // ---- stateful sessionization (custom per-key state) ----
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)

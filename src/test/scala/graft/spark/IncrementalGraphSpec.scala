@@ -130,6 +130,41 @@ class IncrementalGraphSpec extends AnyFunSuite {
     assert(versions.nonEmpty && versions.size <= 2, s"versions = $versions")
   }
 
+  test("closureStream: a mid-stream schema edge replays standing facts into the closure dir") {
+    val in = Files.createTempDirectory("graftcs_in").toString
+    val cl = Files.createTempDirectory("graftcs_cl").toString + "/closure"
+    val cp = Files.createTempDirectory("graftcs_cp").toString
+    val t1 = ExtractPipeline.extract(turns(batch1: _*)).localCheckpoint()
+    val t2 = ExtractPipeline.extract(turns(schemaTurn("c5", 0))).localCheckpoint()
+
+    def runStream(): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[Triple].schema)
+        .parquet(s"$in/*").as[Triple]
+      val q = graft.streaming.StreamingExtract.closureStream(stream, cl, cp, predBuckets = 4)
+      q.processAllAvailable(); q.stop()
+    }
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("subj", "pred", "obj_iri", "obj_lexical", "obj_datatype", "obj_lang")
+      .collect().map(_.toSeq).toSet
+
+    t1.write.parquet(s"$in/b1")
+    runStream()
+    assert(key(GraphQuery.loadGraph(spark, cl).df) == key(Entailment.owlEntail(t1).toDF()))
+
+    // the schema edge alone arrives as batch 2: every standing contact fact
+    // must replay through it (derived ex:key rows appear)
+    t2.write.parquet(s"$in/b2")
+    runStream()
+    val after = key(GraphQuery.loadGraph(spark, cl).df)
+    assert(after == key(Entailment.owlEntail(t1.union(t2)).toDF()))
+    assert(after.exists(_(1) == "http://ex.org/key"))
+
+    // stream restart with no new input: closure unchanged
+    runStream()
+    assert(key(GraphQuery.loadGraph(spark, cl).df) == after)
+  }
+
   test("LinkStateStore.fold replay (same version) is idempotent") {
     val state = Files.createTempDirectory("graftlss2").toString
     val t = ExtractPipeline.extract(turns(batch1: _*)).localCheckpoint()
