@@ -30,6 +30,28 @@ echo "== Re-run over the committed manifest: resume is a no-op =="
 "$SPARK_SUBMIT" --master "$MASTER" --class graft.ExtractMain "$JAR" \
   --input "synthetic:$TURNS" --output "$OUT/graph" --buckets 32 2>/dev/null | tail -1
 
+echo "== Nightly-crawl folds (IncrementalMain): novel-append + standing link state =="
+rm -rf "$OUT/standing"
+# first delta (half the corpus) builds the standing root from scratch;
+# nConvs is PINNED across the two deltas so the second is a true superset
+# (the generator's conv assignment — and with it skolem identity — depends
+# on the conv count)
+CONVS=$((TURNS/20))
+"$SPARK_SUBMIT" --master "$MASTER" --class graft.IncrementalMain "$JAR" \
+  --root "$OUT/standing" --input "synthetic:$((TURNS/2)):$CONVS" \
+  --link-keys http://schema.org/headline 2>/dev/null | tail -1
+# second delta is a SUPERSET (the full corpus): only the new half's triples
+# are novel — the anti-join against the pred_bucket-pruned standing slice
+# appends just those under a fresh batch_id partition
+"$SPARK_SUBMIT" --master "$MASTER" --class graft.IncrementalMain "$JAR" \
+  --root "$OUT/standing" --input "synthetic:$TURNS:$CONVS" \
+  --link-keys http://schema.org/headline 2>/dev/null | tail -1
+
+echo "== Crash-rerun of the same delta: novelty is zero, state unchanged =="
+"$SPARK_SUBMIT" --master "$MASTER" --class graft.IncrementalMain "$JAR" \
+  --root "$OUT/standing" --input "synthetic:$TURNS:$CONVS" \
+  --link-keys http://schema.org/headline 2>/dev/null | tail -1
+
 echo "== Consumer-side BGP query over the materialized graph (QueryMain) =="
 # works over any Triple-schema parquet dir; a writeGraph pred_bucket layout
 # additionally gets partition pruning via its _graft_layout.json metadata

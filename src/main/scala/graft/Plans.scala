@@ -24,7 +24,8 @@ object Plans {
       "doc_pack_seqs", "doc_repetition", "doc_bpe_pairs", "doc_bpe_encode",
       "doc_cross_dedup", "kg_bgp_optional", "kg_bgp_union", "kg_entail_rules",
       "kg_describe", "kg_bgp_minus", "kg_construct", "kg_graph_diff",
-      "kg_path_mgr_names", "kg_path_peers", "kg_path_star_bound")
+      "kg_path_mgr_names", "kg_path_peers", "kg_path_star_bound",
+      "kg_crawl_incr")
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plan evidence (explain formatted)\n\n"
     sb ++= "Regenerate with `sbt \"runMain graft.Plans\"`. Things to check per plan:\n"
@@ -57,7 +58,13 @@ object Plans {
     sb ++= "frame and a triple-pattern frame meeting in the greedy join;\n"
     sb ++= "kg_path_star_bound's closure is SEEDED at the bound source, so its\n"
     sb ++= "plan is the union of cone deltas plus the zero-length literal row —\n"
-    sb ++= "no full-graph closure anywhere.\n\n"
+    sb ++= "no full-graph closure anywhere. kg_crawl_incr is the READ side of\n"
+    sb ++= "the standing crawl root (IncrementalGraph.readCanonical): the raw\n"
+    sb ++= "batch_id/pred_bucket scan rewritten through the persisted link-state\n"
+    sb ++= "mapping — the two rewrite joins touch ONLY the skolem-keyed slices\n"
+    sb ++= "(non-skolem rows union back join-free), and the folds that BUILT the\n"
+    sb ++= "root anti-joined each delta against a pred_bucket-PRUNED standing\n"
+    sb ++= "slice (never the whole graph).\n\n"
     names.foreach { n =>
       sb ++= s"## $n\n\n```\n"
       val df = SparkEntry.queries(n)(spark, dir)
