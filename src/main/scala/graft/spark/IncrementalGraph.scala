@@ -177,6 +177,34 @@ object IncrementalGraph {
       }.toOption.flatten
     }
 
+  /** Compact a batch-layout dir (this object's `graph/`/`closure/`, or a
+    * [[graft.streaming.StreamingExtract.sinkToGraph]] output): rewrite all
+    * standing rows into `destDir` as ONE `batch_id=0` generation, restoring
+    * O(pred_buckets) partition count after many folds/micro-batches. Writes
+    * SIDE-BY-SIDE — the source dir is never touched, so a crashed
+    * compaction costs nothing and the swap (mv, catalog repoint, Iceberg
+    * REPLACE TABLE) stays an atomic operation of the deployment's storage
+    * layer. Pred-bucket count carries over from the source layout; rows
+    * re-deduplicate on identity (a sinkToGraph source can hold the same
+    * statement under several batch partitions — set semantics at rest).
+    */
+  def compact(spark: SparkSession, srcDir: String, destDir: String,
+              io: TableIO = TableIO.default): Long = {
+    val buckets = bucketCount(spark, srcDir, io).getOrElse(16)
+    val rows = standing(spark, srcDir, io) match {
+      case None => 0L
+      case Some(st) =>
+        ExtractPipeline.writeCounted(
+          st.dropDuplicates(Triple.identityCols)
+            .withColumn("batch_id", lit(0L))
+            .withColumn("pred_bucket", pmod(hash(col("pred")), lit(buckets))),
+          io.overwritePartitions(_, destDir, Seq("batch_id", "pred_bucket")))
+    }
+    io.writeMetadata(spark, destDir, ExtractPipeline.LayoutFile,
+      s"""{"pred_buckets": $buckets}""" + "\n")
+    rows
+  }
+
   /** Open the standing RAW graph for querying ([[GraphQuery.loadGraph]]
     * semantics: pruning from the layout metadata, stats by one-pass scan).
     */

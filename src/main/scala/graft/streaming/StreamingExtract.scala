@@ -67,9 +67,9 @@ object StreamingExtract {
     * (re)written through the [[graft.spark.TableIO]] seam, and
     * [[graft.spark.GraphQuery.loadGraph]] reads the dir like any other
     * graph (stats by one-pass scan). Long-running streams accumulate
-    * batch_id partitions; compact by rewriting through
-    * [[ExtractPipeline.writeGraph]] at rest when the count grows
-    * unwieldy.
+    * batch_id partitions; [[graft.spark.IncrementalGraph.compact]]
+    * rewrites the dir side-by-side into one generation when the count
+    * grows unwieldy.
     */
   def sinkToGraph(triples: Dataset[Triple], outDir: String, checkpointDir: String,
                   predBuckets: Int = 16,

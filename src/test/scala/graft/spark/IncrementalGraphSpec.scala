@@ -165,6 +165,29 @@ class IncrementalGraphSpec extends AnyFunSuite {
     assert(key(GraphQuery.loadGraph(spark, cl).df) == after)
   }
 
+  test("compact: many batch partitions rewrite side-by-side to one generation, set-equal") {
+    val root = Files.createTempDirectory("graftcmp").toString
+    val dest = Files.createTempDirectory("graftcmp_dst").toString + "/graph"
+    import graft.spark.{IncrementalGraph => IG}
+    // three folds → three batch_id partitions
+    IG.foldBatch(ExtractPipeline.extract(turns(batch1.take(1): _*)).as[Triple], root, predBuckets = 4)
+    IG.foldBatch(ExtractPipeline.extract(turns(batch1.drop(1): _*)).as[Triple], root, predBuckets = 4)
+    IG.foldBatch(ExtractPipeline.extract(turns(batch2.take(1): _*)).as[Triple], root, predBuckets = 4)
+    val src = IG.readGraph(spark, root).df
+    assert(src.select("batch_id").distinct().count() == 3)
+
+    val n = IG.compact(spark, s"$root/graph", dest)
+    val out = GraphQuery.loadGraph(spark, dest)
+    assert(out.predBuckets == 4) // layout metadata carried over
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("subj", "pred", "obj_iri", "obj_lexical", "obj_datatype", "obj_lang")
+      .collect().map(_.toSeq).toSet
+    assert(key(out.df) == key(src) && n == out.df.count())
+    assert(out.df.select("batch_id").distinct().count() == 1)
+    // source untouched (side-by-side contract)
+    assert(IG.readGraph(spark, root).df.select("batch_id").distinct().count() == 3)
+  }
+
   test("LinkStateStore.fold replay (same version) is idempotent") {
     val state = Files.createTempDirectory("graftlss2").toString
     val t = ExtractPipeline.extract(turns(batch1: _*)).localCheckpoint()
