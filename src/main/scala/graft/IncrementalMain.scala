@@ -17,6 +17,12 @@ import org.apache.spark.sql.SparkSession
   *     [--entail] [--buckets 16] [--registry …] [--base-prefix …] \
   *     [--validate] [--validate-uris] [--canonicalize-uris]
   *
+  * Maintenance mode: `--root <src> --compact <destRoot>` (no `--input`)
+  * rewrites the accumulated batch partitions of every standing artifact
+  * side-by-side into `destRoot` as one generation
+  * ([[graft.spark.IncrementalGraph.compactRoot]]); the source stays
+  * untouched and the root swap is the storage layer's atomic operation.
+  *
   * `--input` accepts the same forms as [[ExtractMain]]
   * (`synthetic:`/`html:`/`jsonl:`/parquet path). The first run against an
   * empty root builds every artifact from scratch; later runs fold. Query
@@ -29,17 +35,27 @@ object IncrementalMain {
   def main(args: Array[String]): Unit = {
     val opts = CliArgs.parse(args,
       flags = Set("entail", "validate", "validate-uris", "canonicalize-uris"),
-      required = Seq("root", "input"))._1
+      required = Seq("root"))._1
+    require(opts.contains("input") ^ opts.contains("compact"),
+      "exactly one of --input <delta> (fold) or --compact <destRoot> (maintenance) is required")
     val preexisting =
       SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     val spark = preexisting.getOrElse(
       GraftSession.fromSubmit(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt))
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val s = run(opts, spark)
-      println(s"Folded batch ${s.batchId}: ${s.newTriples} new triples" +
-        (if (s.newClosureTriples >= 0) s", ${s.newClosureTriples} new closure triples" else "") +
-        (if (s.linkStateNodes >= 0) s", link state ${s.linkStateNodes} nodes" else "") + ".")
+      opts.get("compact") match {
+        case Some(dest) =>
+          val (g, c, l) = IncrementalGraph.compactRoot(spark, opts("root"), dest)
+          println(s"Compacted to $dest: $g graph triples" +
+            (if (c >= 0) s", $c closure triples" else "") +
+            (if (l >= 0) s", link state $l nodes" else "") + ".")
+        case None =>
+          val s = run(opts, spark)
+          println(s"Folded batch ${s.batchId}: ${s.newTriples} new triples" +
+            (if (s.newClosureTriples >= 0) s", ${s.newClosureTriples} new closure triples" else "") +
+            (if (s.linkStateNodes >= 0) s", link state ${s.linkStateNodes} nodes" else "") + ".")
+      }
     } finally if (preexisting.isEmpty) spark.stop()
   }
 

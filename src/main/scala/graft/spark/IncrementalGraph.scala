@@ -205,6 +205,25 @@ object IncrementalGraph {
     rows
   }
 
+  /** [[compact]] a whole standing root side-by-side: graph (always),
+    * closure (when maintained), and the CURRENT link-state version
+    * (re-committed as the destination's v0 — older versions are history,
+    * not state). Returns (graph rows, closure rows or -1, state nodes
+    * or -1). The source root stays untouched; swapping roots is the
+    * storage layer's atomic operation.
+    */
+  def compactRoot(spark: SparkSession, srcRoot: String, destRoot: String,
+                  io: TableIO = TableIO.default): (Long, Long, Long) = {
+    val g = compact(spark, s"$srcRoot/graph", s"$destRoot/graph", io)
+    val c = io.readMetadata(spark, s"$srcRoot/closure", ExtractPipeline.LayoutFile)
+      .map(_ => compact(spark, s"$srcRoot/closure", s"$destRoot/closure", io))
+      .getOrElse(-1L)
+    val l = LinkStateStore.load(spark, s"$srcRoot/link_state", io)
+      .map(st => LinkStateStore.save(st, s"$destRoot/link_state", 0L, io).count())
+      .getOrElse(-1L)
+    (g, c, l)
+  }
+
   /** Open the standing RAW graph for querying ([[GraphQuery.loadGraph]]
     * semantics: pruning from the layout metadata, stats by one-pass scan).
     */

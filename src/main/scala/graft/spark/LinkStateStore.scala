@@ -77,8 +77,18 @@ object LinkStateStore {
       case Some(state) =>
         EntityLink.mentionLinkStateIncremental(state, batch, keyPredicates, maxKeyDegree)
     }
+    save(next, stateDir, version, io, retainVersions)
+  }
+
+  /** Commit an externally-built state as version `v<version>` (the write +
+    * pointer-flip + retention half of [[fold]]; also the root-migration
+    * path of [[IncrementalGraph.compactRoot]]).
+    */
+  def save(state: DataFrame, stateDir: String, version: Long,
+           io: TableIO = TableIO.default, retainVersions: Int = 2): DataFrame = {
+    val spark = state.sparkSession
     val name = f"v$version%016d"
-    io.write(next, s"$stateDir/$name", Nil)
+    io.write(state, s"$stateDir/$name", Nil)
     io.writeMetadata(spark, stateDir, Pointer, name + "\n")
     // retention AFTER the flip: the dropped versions are unreachable from
     // the pointer; keep >1 so a reader that resolved the pointer moments

@@ -165,25 +165,33 @@ class IncrementalGraphSpec extends AnyFunSuite {
     assert(key(GraphQuery.loadGraph(spark, cl).df) == after)
   }
 
-  test("compact: many batch partitions rewrite side-by-side to one generation, set-equal") {
+  test("compactRoot: accumulated batch partitions rewrite side-by-side; every artifact set-equal") {
     val root = Files.createTempDirectory("graftcmp").toString
-    val dest = Files.createTempDirectory("graftcmp_dst").toString + "/graph"
+    val dest = Files.createTempDirectory("graftcmp_dst").toString + "/root"
     import graft.spark.{IncrementalGraph => IG}
-    // three folds → three batch_id partitions
-    IG.foldBatch(ExtractPipeline.extract(turns(batch1.take(1): _*)).as[Triple], root, predBuckets = 4)
-    IG.foldBatch(ExtractPipeline.extract(turns(batch1.drop(1): _*)).as[Triple], root, predBuckets = 4)
-    IG.foldBatch(ExtractPipeline.extract(turns(batch2.take(1): _*)).as[Triple], root, predBuckets = 4)
+    val keys = Seq(Contact)
+    // three folds → three batch_id partitions, link state, closure
+    IG.foldBatch(ExtractPipeline.extract(turns(batch1.take(1): _*)).as[Triple],
+      root, predBuckets = 4, linkKeys = keys, entail = true)
+    IG.foldBatch(ExtractPipeline.extract(turns(batch1.drop(1): _*)).as[Triple],
+      root, predBuckets = 4, linkKeys = keys, entail = true)
+    IG.foldBatch(ExtractPipeline.extract(turns(batch2: _*)).as[Triple],
+      root, predBuckets = 4, linkKeys = keys, entail = true)
     val src = IG.readGraph(spark, root).df
     assert(src.select("batch_id").distinct().count() == 3)
 
-    val n = IG.compact(spark, s"$root/graph", dest)
-    val out = GraphQuery.loadGraph(spark, dest)
-    assert(out.predBuckets == 4) // layout metadata carried over
+    val (g, c, l) = IG.compactRoot(spark, root, dest)
+    assert(g > 0 && c > 0 && l > 0)
     def key(df: org.apache.spark.sql.DataFrame) = df
       .select("subj", "pred", "obj_iri", "obj_lexical", "obj_datatype", "obj_lang")
       .collect().map(_.toSeq).toSet
-    assert(key(out.df) == key(src) && n == out.df.count())
+    val out = IG.readGraph(spark, dest)
+    assert(GraphQuery.loadGraph(spark, s"$dest/graph").predBuckets == 4) // layout carried
+    assert(key(out.df) == key(src) && g == out.df.count())
     assert(out.df.select("batch_id").distinct().count() == 1)
+    // closure and CANONICAL VIEW answer identically from the compacted root
+    assert(key(IG.readClosure(spark, dest).df) == key(IG.readClosure(spark, root).df))
+    assert(key(IG.readCanonical(spark, dest).toDF()) == key(IG.readCanonical(spark, root).toDF()))
     // source untouched (side-by-side contract)
     assert(IG.readGraph(spark, root).df.select("batch_id").distinct().count() == 3)
   }
