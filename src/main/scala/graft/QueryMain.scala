@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions.col
   * (pred_bucket partition pruning from its own layout metadata); `--table`
   * opens a [[graft.spark.ExtractPipeline.writeGraphBucketedBySubject]]
   * catalog table instead — subject-star patterns then join shuffle-free off
-  * the bucketed scans, the right layout for entity-assembly queries.
+  * the bucketed scans, the right layout for entity-assembly queries;
+  * `--canonical <crawlRoot>` opens an [[IncrementalMain]] root's
+  * entity-canonical view ([[graft.spark.IncrementalGraph.readCanonical]]).
   *
   * Pattern terms: `?name` = variable, `<uri>` = IRI constant, `"text"` =
   * literal constant. The graph's own layout metadata supplies the
@@ -78,14 +80,25 @@ object QueryMain {
       repeatKeys = Set("pattern", "optional", "minus"), required = Seq("output"))
     val patternStrs = reps.getOrElse("pattern", Vector.empty)
     require(patternStrs.nonEmpty, "at least one --pattern is required")
-    require(opts.contains("graph") ^ opts.contains("table"),
-      "exactly one of --graph <dir> or --table <name> is required")
+    require(Seq("graph", "table", "canonical").count(opts.contains) == 1,
+      "exactly one of --graph <dir>, --table <name>, or --canonical <crawlRoot> is required")
     val parsed = patternStrs.map(parseAnyPattern)
     val patterns = parsed.collect { case Left(t) => t }
     val pathPatterns = parsed.collect { case Right(p) => p }
     val g0 =
       if (opts.contains("graph")) GraphQuery.loadGraph(spark, opts("graph"))
-      else GraphQuery.loadBucketedGraph(spark, opts("table"))
+      else if (opts.contains("table")) GraphQuery.loadBucketedGraph(spark, opts("table"))
+      else {
+        // --canonical <root>: an IncrementalMain crawl root's CANONICAL view
+        // (raw graph rewritten through the standing link-state mapping at
+        // read time). The rewrite is in-memory, so pred_bucket pruning does
+        // not apply and stats are recomputed over the view — ad-hoc shape;
+        // steady-state consumers materialize the view (rewriteWithMapping →
+        // writeGraph) when merges settle.
+        val canon = graft.spark.IncrementalGraph
+          .readCanonical(spark, opts("canonical")).toDF().localCheckpoint()
+        GraphQuery.PersistedGraph(canon, 0, GraphQuery.predStats(canon))
+      }
     // --entail: expand the loaded graph to its OWL-RL-subset closure before
     // matching (the reference applies its Expansion module at read time;
     // schema edges come from the graph itself). The expanded frame is

@@ -81,6 +81,13 @@ class IncrementalGraphSpec extends AnyFunSuite {
     assert(key(closure) == key(Entailment.owlEntail(all)))
     assert(key(closure).exists(_._2 == "http://ex.org/key"))
 
+    // the canonical view is queryable from the consumer CLI (--canonical):
+    // one merged subject × the three contact keys = 3 bindings
+    val bOut = Files.createTempDirectory("graftcrawl_b").toString + "/b"
+    val n = graft.QueryMain.run(Array("--canonical", root, "--output", bOut,
+      "--pattern", s"?s <$Contact> ?v"), spark)
+    assert(n == 3)
+
     // crash-rerun of an already-folded delta: pure no-op novelty
     val s3 = graft.IncrementalMain.run(opts1 + ("input" -> d2), spark)
     assert(s3.newTriples == 0 && s3.newClosureTriples == 0)
