@@ -233,20 +233,17 @@ object ExtractPipeline {
       meta.properties + (PredStatsProperty -> mapper.writeValueAsString(root))))
   }
 
-  /** IRIREF escaping, Column twin of graft.core.NTriples.escapeIri: the
-    * characters the N-Triples grammar forbids raw inside `<...>` become
-    * \uXXXX. Gated behind an rlike so the (overwhelmingly common) clean IRI
-    * pays one regex probe and nothing else. Backslash replaces FIRST so the
-    * escapes this chain introduces are never re-escaped.
+  /** IRIREF escaping, Column twin of graft.core.NTriples.escapeIri. A
+    * native expression ([[graft.functions.NTriplesEscapeExpr]]) rather than
+    * a regexp_replace chain: one replace per escapable character across the
+    * four IRI positions plus the lexical form is ~200 regex matchers in one
+    * generated method — past janino's 64 KB limit, which silently dropped
+    * the whole sink projection to interpreted mode. The expression is one
+    * static call, so serialization stays inside whole-stage codegen, and a
+    * clean IRI pays one byte scan instead of a regex probe.
     */
-  private def escapeIriCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val badChars = ('\\' +: (0.toChar to 0x20.toChar)) ++
-      Seq('<', '>', '"', '{', '}', '|', '^', '`')
-    val esc = badChars.foldLeft(c) { (acc, ch) =>
-      regexp_replace(acc, java.util.regex.Pattern.quote(ch.toString), f"\\\\u${ch.toInt}%04X")
-    }
-    when(c.rlike("[\\x00-\\x20<>\"{}|^`\\\\]"), esc).otherwise(c)
-  }
+  private def escapeIriCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.NTriplesEscapeExpr.iri(c)
 
   /** N-Triples text dump (the reference CLI's sink, script/parse:23-31). */
   def toNTriples(triples: Dataset[Triple]): DataFrame = {
@@ -256,33 +253,11 @@ object ExtractPipeline {
     val objIri = when(col("obj_iri").startsWith(Extractor.SkolemPrefix),
         concat(lit("_:"), substring(col("obj_iri"), Extractor.SkolemPrefix.length + 1, 1000)))
       .otherwise(concat(lit("<"), escapeIriCol(col("obj_iri")), lit(">")))
-    // same escape set as graft.core.NTriples.escape: backslash, quote, the
-    // named control escapes \n \r \t, and \uXXXX for every other char
-    // < 0x20 (reachable via numeric character references in markup). The
-    // \uXXXX pass is gated behind an rlike so the common no-control-char row
-    // never pays it; each remaining control char gets its own LINEAR
-    // regexp_replace — a char-wise aggregate-concat rebuild is O(n²) in the
-    // literal length (the growing accumulator re-copies per char), which a
-    // single 1 MB lexical form with one &#1; turns into a task stall.
-    val named = regexp_replace(
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("obj_lexical"), "\\\\", "\\\\\\\\"),
-            "\"", "\\\\\""),
-          "\n", "\\\\n"),
-        "\r", "\\\\r"),
-      "\t", "\\\\t")
-    // after the named escapes, any remaining char < 0x20 needs \uXXXX
-    val ctrl = "[\\x00-\\x1f]"
-    val uEscaped = (0x00 until 0x20)
-      .filterNot(c => c == '\n' || c == '\r' || c == '\t')
-      .foldLeft(named) { (acc, c) =>
-        // replacement "\\uXXXX" (2 chars of backslash in the Java
-        // replacement string) → Matcher emits the literal \uXXXX
-        regexp_replace(acc, f"\\x$c%02x", f"\\\\u$c%04X")
-      }
-    val escaped = when(named.rlike(ctrl), uEscaped).otherwise(named)
+    // same escape set as graft.core.NTriples.escape (backslash, quote, the
+    // named control escapes \n \r \t, \uXXXX for every other char < 0x20 —
+    // reachable via numeric character references in markup), applied by the
+    // same native expression as the IRI positions
+    val escaped = graft.functions.NTriplesEscapeExpr.literal(col("obj_lexical"))
     val lex = concat(lit("\""), escaped, lit("\""))
     val objLit = when(col("obj_lang").isNotNull, concat(lex, lit("@"), col("obj_lang")))
       .when(col("obj_datatype").isNotNull,
