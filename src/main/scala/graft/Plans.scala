@@ -25,7 +25,7 @@ object Plans {
       "doc_cross_dedup", "kg_bgp_optional", "kg_bgp_union", "kg_entail_rules",
       "kg_describe", "kg_bgp_minus", "kg_construct", "kg_graph_diff",
       "kg_path_mgr_names", "kg_path_peers", "kg_path_star_bound",
-      "kg_crawl_incr")
+      "kg_crawl_incr", "kg_ntriples")
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plan evidence (explain formatted)\n\n"
     sb ++= "Regenerate with `sbt \"runMain graft.Plans\"`. Things to check per plan:\n"
@@ -64,7 +64,11 @@ object Plans {
     sb ++= "mapping — the two rewrite joins touch ONLY the skolem-keyed slices\n"
     sb ++= "(non-skolem rows union back join-free), and the folds that BUILT the\n"
     sb ++= "root anti-joined each delta against a pred_bucket-PRUNED standing\n"
-    sb ++= "slice (never the whole graph).\n\n"
+    sb ++= "slice (never the whole graph). kg_ntriples is the serialization\n"
+    sb ++= "sink: its projection must sit inside ONE WholeStageCodegen span —\n"
+    sb ++= "the nt_escape_iri/nt_escape_lit expressions exist precisely so the\n"
+    sb ++= "escape work compiles (the regexp_replace-chain form blew janino's\n"
+    sb ++= "64 KB method limit and silently ran interpreted).\n\n"
     names.foreach { n =>
       sb ++= s"## $n\n\n```\n"
       val df = SparkEntry.queries(n)(spark, dir)
