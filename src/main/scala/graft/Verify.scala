@@ -10,6 +10,14 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(',').toSet) else None
+    // unknown names fail LOUDLY (same guard as Bench's SPARK_GRAFT_ONLY):
+    // a typo silently writing zero outputs reads as "the query has no data"
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"unknown query names: ${unknown.toSeq.sorted.mkString(", ")} " +
+          s"(known: ${SparkEntry.queries.keySet.toSeq.sorted.mkString(", ")})")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -58,8 +58,23 @@ object IncrementalGraph {
     val spark = delta.sparkSession
     val d = delta.dropDuplicates(Triple.identityCols).localCheckpoint()
 
+    // Batch ids must be MONOTONE over ALL folds, including zero-novelty
+    // reruns: an empty fold materializes no batch_id partition (so
+    // max(batch_id) in the data is unchanged) yet still commits a
+    // link-state version and a crawl mark under its id. Deriving the next
+    // id from data alone would REUSE that id on the next genuine fold, and
+    // LinkStateStore.save would then rewrite the LIVE pointed-to version
+    // table in place — torn reads for concurrent consumers, and a crash
+    // mid-rewrite leaves the committed pointer on a corrupt table. The
+    // crawl marks are written unconditionally, so their max rides over
+    // empty folds; the data max still participates for dirs predating the
+    // marks (and compacted roots, whose marks reset).
+    val markFloor = io.listMetadata(spark, s"$root/graph", "_graft_crawl/batch-")
+      .flatMap(n => scala.util.Try(n.stripPrefix("batch-").toLong).toOption)
+      .foldLeft(0L)((acc, id) => math.max(acc, id + 1L))
+
     val (newTriples, batchId) =
-      appendNovel(spark, d, s"$root/graph", predBuckets, io)
+      appendNovel(spark, d, s"$root/graph", predBuckets, io, minBatchId = markFloor)
 
     val linkNodes =
       if (linkKeys.isEmpty) -1L
@@ -109,23 +124,57 @@ object IncrementalGraph {
     val spark = delta.sparkSession
     import spark.implicits._
     standing(spark, dir, io) match {
-      case None => Entailment.owlEntail(delta)
+      case None =>
+        refuseTransitive(Entailment.owlEntail(delta))
       case Some(closed) =>
         // full new closure, then keep only rows the standing closure
         // lacks — the append stays delta-cone-sized
         val c = closed.localCheckpoint()
-        Entailment.owlEntailIncremental(c, delta).as("n")
+        refuseTransitive(c)
+        val out = Entailment.owlEntailIncremental(c, delta).as("n")
           .join(c.as("o"), Triple.identityCond("n", "o"), "left_anti").as[Triple]
+          .localCheckpoint()
+        // the DELTA can introduce the declaration too (checked on the cone,
+        // which contains every delta row's derivations incl. inherited
+        // rdf:type facts) — after the fact is cheaper than a second
+        // pre-scan and equally safe: nothing has been appended yet
+        refuseTransitive(out)
+        out
     }
+  }
+
+  /** THROW-not-truncate ([[Entailment]]'s stance) for the one rule the
+    * incremental maintainer cannot express: `owl:TransitiveProperty`.
+    * [[Entailment.owlEntailIncremental]] handles only the rewrite rules, so
+    * a graph declaring a transitive predicate would get a standing closure
+    * silently missing every multi-hop fact that `ExtractMain --entail`
+    * (which runs [[Entailment.owlEntailWithTransitive]]) derives. Refuse
+    * loudly and steer to the batch path.
+    */
+  private def refuseTransitive[T](df: Dataset[T]): Dataset[T] = {
+    val decl = df.toDF()
+      .filter(col("pred") === Entailment.RdfType &&
+        col("obj_iri") === Entailment.TransitiveProperty)
+      .select(col("subj")).limit(1).collect()
+    require(decl.isEmpty,
+      s"incremental closure maintenance does not support owl:TransitiveProperty " +
+        s"(declared for <${decl.headOption.map(_.getString(0)).getOrElse("")}>): " +
+        "prp-trp joins facts with facts, which the delta-cone maintainer cannot " +
+        "bound. Rebuild the closure in batch (ExtractMain --entail persists " +
+        "owlEntailWithTransitive's full closure) instead of folding this delta.")
+    df
   }
 
   /** Append the delta's NOVEL rows (identity anti-join against the
     * pred_bucket-pruned standing slice) under the next batch_id partition.
-    * Returns (rows written, batch id used).
+    * Returns (rows written, batch id used). `minBatchId` lets the caller
+    * raise the derived id past folds that wrote no data (see
+    * [[foldBatch]]'s monotonicity note).
     */
   private[graft] def appendNovel(spark: SparkSession, delta: Dataset[Triple], dir: String,
                                  predBuckets: Int, io: TableIO,
-                                 knownBatchId: Long = -1L): (Long, Long) = {
+                                 knownBatchId: Long = -1L,
+                                 minBatchId: Long = 0L): (Long, Long) = {
     val existing = standing(spark, dir, io)
     val buckets = existing match {
       case Some(_) =>
@@ -139,13 +188,13 @@ object IncrementalGraph {
     }
     val batchId =
       if (knownBatchId >= 0) knownBatchId
-      else existing.map(_ =>
+      else math.max(minBatchId, existing.map(_ =>
         // cast: the partition column may infer as int; coalesce: a standing
         // dir whose every batch was empty still has metadata but no rows
         io.read(spark, dir)
           .agg(coalesce(max(col("batch_id")).cast("long"), lit(-1L)))
           .head().getLong(0) + 1L
-      ).getOrElse(0L)
+      ).getOrElse(0L))
 
     val novel = existing match {
       case None => delta.toDF()
@@ -169,7 +218,7 @@ object IncrementalGraph {
     (written, batchId)
   }
 
-  private def bucketCount(spark: SparkSession, dir: String, io: TableIO): Option[Int] =
+  private[graft] def bucketCount(spark: SparkSession, dir: String, io: TableIO): Option[Int] =
     io.readMetadata(spark, dir, ExtractPipeline.LayoutFile).flatMap { json =>
       scala.util.Try {
         val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)

@@ -78,9 +78,19 @@ object StreamingExtract {
     // metadata ONCE, before the stream starts: its content is constant
     // ({"pred_buckets": N} — no stats, they'd go stale per batch), and a
     // per-batch rewrite would open a delete→rename window where concurrent
-    // loadGraph readers silently lose pruning
-    io.writeMetadata(triples.sparkSession, outDir, ExtractPipeline.LayoutFile,
-      s"""{"pred_buckets": $predBuckets}""" + "\n")
+    // loadGraph readers silently lose pruning. A dir that already carries a
+    // layout DESCRIBES ITSELF: a restart passing a different predBuckets
+    // must not rewrite it — earlier batches were hashed with the recorded
+    // count, and re-labeling them would make constant-predicate pruning
+    // silently skip matching rows (same guard as IncrementalGraph
+    // .appendNovel).
+    val spark = triples.sparkSession
+    val buckets = graft.spark.IncrementalGraph.bucketCount(spark, outDir, io)
+      .getOrElse {
+        io.writeMetadata(spark, outDir, ExtractPipeline.LayoutFile,
+          s"""{"pred_buckets": $predBuckets}""" + "\n")
+        predBuckets
+      }
     triples.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -91,7 +101,7 @@ object StreamingExtract {
         io.overwritePartitions(
           batch.dropDuplicates(Triple.identityCols)
             .withColumn("batch_id", lit(batchId))
-            .withColumn("pred_bucket", pmod(hash(col("pred")), lit(predBuckets))),
+            .withColumn("pred_bucket", pmod(hash(col("pred")), lit(buckets))),
           outDir, Seq("batch_id", "pred_bucket"))
       }
       .start()

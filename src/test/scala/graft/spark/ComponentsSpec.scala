@@ -116,9 +116,9 @@ class ComponentsSpec extends AnyFunSuite {
     val cp = Files.createTempDirectory("graftsink2_cp").toString
     Transcripts.synthetic(spark, 60, 4).write.parquet(s"$dir/b1")
 
-    def runStream(): Unit = {
+    def runStream(predBuckets: Int = 4): Unit = {
       val q = graft.streaming.StreamingExtract.sinkToGraph(
-        StreamingExtract.extractStream(spark, s"$dir/*"), s"$out/graph", cp, predBuckets = 4)
+        StreamingExtract.extractStream(spark, s"$dir/*"), s"$out/graph", cp, predBuckets)
       q.processAllAvailable(); q.stop()
     }
     runStream() // first life: batch 1 only
@@ -132,10 +132,14 @@ class ComponentsSpec extends AnyFunSuite {
 
     // third life: genuinely new turns land (disjoint id range — synthetic
     // is deterministic per id, so exceptAll carves ids 60..259), the SAME
-    // checkpoint resumes — old batches must not be re-extracted
+    // checkpoint resumes — old batches must not be re-extracted. The
+    // restart passes a DIFFERENT predBuckets: the dir describes itself, so
+    // the recorded count must win (a rewrite would mis-prune every earlier
+    // batch) and the new batch must hash with the recorded count too
     Transcripts.synthetic(spark, 260, 4).exceptAll(Transcripts.synthetic(spark, 60, 4))
       .write.parquet(s"$dir/b2")
-    runStream()
+    runStream(predBuckets = 16)
+    assert(graft.spark.GraphQuery.loadGraph(spark, s"$out/graph").predBuckets == 4)
     val rows = spark.read.parquet(s"$out/graph")
     // exactly-once at rest: per-(identity, lineage) rows are unique
     assert(rows.count() ==
@@ -146,6 +150,17 @@ class ComponentsSpec extends AnyFunSuite {
       .select("subj", "pred", "obj_iri", "obj_lexical", "conv_id", "turn_idx")
       .collect().map(_.toSeq).toSet
     assert(key(rows) == key(batchAll.toDF()))
+    // and the PRUNED constant-predicate path (pred_bucket partition filter
+    // from the recorded count) still finds the life-3 rows — the silent
+    // failure a layout rewrite would cause
+    import graft.spark.GraphQuery.{C, V}
+    val g = graft.spark.GraphQuery.loadGraph(spark, s"$out/graph")
+    val rdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    val pruned = graft.spark.GraphQuery.bgp(g, Seq((V("s"), C(rdfType), V("t"))))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val expect = graft.spark.GraphQuery.bgp(batchAll.toDF(), Seq((V("s"), C(rdfType), V("t"))))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pruned == expect && pruned.nonEmpty)
   }
 
   test("Streaming windowed conv counts run with watermark") {

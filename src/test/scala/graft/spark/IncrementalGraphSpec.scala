@@ -94,6 +94,44 @@ class IncrementalGraphSpec extends AnyFunSuite {
     assert(key(IncrementalGraph.readGraph(spark, root).df
       .select(col("subj"), col("pred"), col("obj_iri"), col("obj_lexical"),
         col("obj_datatype"), col("obj_lang"), col("conv_id"), col("turn_idx")).as[Triple]) == key(all))
+
+    // batch ids stay MONOTONE past the no-op: s3 wrote no batch_id
+    // partition but committed link-state v2 under its id — a later fold
+    // deriving its id from data alone would REUSE 2 and rewrite that live
+    // version table in place (torn reads / corrupt pointer on crash)
+    val d3 = Files.createTempDirectory("graftcrawl_d3").toString
+    turns(mentionTurn("c6", 0, "k9", "k9")).write.mode("overwrite").parquet(d3)
+    val s4 = graft.IncrementalMain.run(opts1 + ("input" -> d3), spark)
+    assert(s3.batchId == 2 && s4.batchId == 3 && s4.newTriples > 0)
+    assert(LinkStateStore.latestVersion(spark, s"$root/link_state")
+      .contains(f"v${3L}%016d"))
+  }
+
+  test("incremental closure maintenance refuses owl:TransitiveProperty loudly") {
+    // (anc rdf:type owl:TransitiveProperty) through markup — prp-trp joins
+    // facts with facts, which the delta-cone maintainer cannot express, so
+    // folding must THROW (Entailment's throw-not-truncate stance), never
+    // silently maintain a closure missing the multi-hop facts
+    val trpTurn = ("c1", 0,
+      """<div itemscope itemid="http://ex.org/anc"><link itemprop="http://www.w3.org/1999/02/22-rdf-syntax-ns#type" href="http://www.w3.org/2002/07/owl#TransitiveProperty"></div>""")
+
+    // first batch (no standing closure yet)
+    val root1 = Files.createTempDirectory("grafttrp1").toString
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalGraph.foldBatch(ExtractPipeline.extract(turns(trpTurn)).as[Triple],
+        root1, predBuckets = 4, entail = true)
+    }
+    assert(e1.getMessage.contains("TransitiveProperty"))
+
+    // declaration arriving in a LATER delta against a clean standing closure
+    val root2 = Files.createTempDirectory("grafttrp2").toString
+    IncrementalGraph.foldBatch(ExtractPipeline.extract(turns(batch1: _*)).as[Triple],
+      root2, predBuckets = 4, entail = true)
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalGraph.foldBatch(ExtractPipeline.extract(turns(trpTurn)).as[Triple],
+        root2, predBuckets = 4, entail = true)
+    }
+    assert(e2.getMessage.contains("TransitiveProperty"))
   }
 
   test("linkStateStream: streamed micro-batches converge to the batch-built state; versions retained") {
