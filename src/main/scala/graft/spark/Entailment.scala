@@ -115,7 +115,7 @@ object Entailment {
     * and is the only thing shuffled per iteration — at corpus scale that is
     * a small fraction of the graph.
     */
-  def owlEntail(triples: Dataset[Triple], maxIterations: Int = 20): Dataset[Triple] = {
+  def owlEntail(triples: Dataset[Triple], maxIterations: Int = 64): Dataset[Triple] = {
     val base = triples.dropDuplicates(Triple.identityCols).localCheckpoint()
     // delta0 == base, so schemaEdges(base) already covers the first
     // iteration's edge set — the in-loop new-edge diff starts at round 2
@@ -147,16 +147,22 @@ object Entailment {
     * the schema declares any).
     */
   def owlEntailIncremental(closed: Dataset[Triple], delta: Dataset[Triple],
-                           maxIterations: Int = 20): Dataset[Triple] = {
+                           maxIterations: Int = 64): Dataset[Triple] = {
     val antiCond = Triple.identityCond("d", "a")
-    val base = closed.dropDuplicates(Triple.identityCols).localCheckpoint()
+    // the input contract says `closed` is deduplicated (an owlEntail
+    // output or a set-semantics standing dir) — re-deduplicating here
+    // would be a corpus-wide shuffle per fold, and checkpointing it a full
+    // materialization: O(|closed|) work in the operator whose whole point
+    // is O(|Δ|). The standing side is only ever SCANNED (novelty
+    // anti-join, schema-edge slice, target slice), never shuffled.
+    val base = closed
     import closed.sparkSession.implicits._
     val fresh = delta.dropDuplicates(Triple.identityCols).as("d")
       .join(base.as("a"), antiCond, "left_anti").as[Triple].localCheckpoint()
     if (fresh.isEmpty) return base
     // edges from CLOSED only: the first-iteration diff then surfaces the
     // delta's own schema edges and replays them against the closed graph
-    entailFrom(base.union(fresh).localCheckpoint(), fresh,
+    entailFrom(base.union(fresh), fresh,
       schemaEdges(base).localCheckpoint(),
       firstDeltaEdgesCovered = false, maxIterations)
   }
@@ -311,7 +317,14 @@ object Entailment {
           val before = transSlice(g, transPreds)
             .unionByName(fresh.select(col("pred").as("p"), col("subj").as("s"),
               col("obj_iri").as("o")))
-          g = owlEntail(g.union(fresh))
+          // g is already closed under the rewrite rules (an owlEntail
+          // output), so the incremental form — seeding the semi-naive loop
+          // with just the closure's fresh edges — computes the identical
+          // fixpoint without re-deriving from the whole accumulated graph
+          // each outer round. The checkpoint bounds plan lineage across
+          // outer rounds (g is consumed by pathPlus, both quiescence
+          // anti-joins, and the next round).
+          g = owlEntailIncremental(g, fresh).localCheckpoint()
           // closed-by-construction check: did the rewrite fixpoint add any
           // transitive-pred edge BEYOND the closure we just unioned? If
           // not, those slices are transitively closed — quiescent.

@@ -65,20 +65,31 @@ object EntityLink {
       .select(col("subj").as("src"),
         concat(escSep(col("pred")), lit("\u0000"), escSep(col("obj_lexical"))).as("key"))
       .localCheckpoint() // consumed twice (degree count + salt join)
-    val deg = mk.groupBy(col("key"))
+    // SPLIT keys only (degree > maxKeyDegree) participate in the salt
+    // assignment, and the salt join must not itself shuffle mentions by the
+    // raw key — that would put the hot key's entire neighborhood in one
+    // join bucket, exactly the skew this mechanism absorbs. The split-key
+    // table is degree-bounded (<= |mentions|/maxKeyDegree rows — a hot-key
+    // CATALOG, not data), so it broadcasts and the assignment is a
+    // shuffle-free map-side left join; non-split keys pass through on the
+    // null branch. (The degree count itself is skew-safe either way:
+    // hash-aggregate with map-side partials never concentrates a key.)
+    val splits = mk.groupBy(col("key"))
       .agg(ceil(count(lit(1)).cast("double") / maxKeyDegree).cast("int").as("n_salts"))
-    val withSalt = mk.join(deg, "key")
+      .filter(col("n_salts") > 1)
+      .localCheckpoint() // consumed three times (salt join, chains, anchors)
+    val withSalt = mk.join(broadcast(splits), Seq("key"), "left")
       .select(col("src"),
-        when(col("n_salts") <= 1, col("key"))
+        when(col("n_salts").isNull, col("key"))
           .otherwise(concat(col("key"), lit("\u0000"),
             pmod(hash(col("src")), col("n_salts")).cast("string"))).as("dst"))
     // chain the sub-keys of each split key: K#0 - K#1 - ... - K#(n-1),
     // plus the raw-key ANCHOR K - K#0 (cross-batch connectivity)
-    val chains = deg.filter(col("n_salts") > 1)
+    val chains = splits
       .select(col("key"), explode(sequence(lit(0), col("n_salts") - 2)).as("i"))
       .select(concat(col("key"), lit("\u0000"), col("i").cast("string")).as("src"),
         concat(col("key"), lit("\u0000"), (col("i") + 1).cast("string")).as("dst"))
-    val anchors = deg.filter(col("n_salts") > 1)
+    val anchors = splits
       .select(col("key").as("src"),
         concat(col("key"), lit("\u00000")).as("dst"))
     withSalt.unionByName(chains).unionByName(anchors)
@@ -139,16 +150,26 @@ object EntityLink {
     * [[mentionLinkStateIncremental]] projects through [[mappingFromState]]
     * and rewrites here). The mapping frame should be materialized
     * (localCheckpoint) by the caller: both joins consume it.
+    *
+    * Identity rows (subj == canonical — every unmerged mention, usually
+    * the vast majority) are dropped from the join side here: the joins are
+    * left+coalesce, so an unmatched row passes through unchanged, and the
+    * shuffled/broadcast side shrinks from corpus-sized to
+    * merged-mentions-sized. The object pass re-derives the subject-pass
+    * plan twice (skolem/pass branches); its shuffle Exchanges are reused
+    * within one action (ReuseExchange), and the pass slices deliberately
+    * re-scan pruned parquet rather than checkpoint a corpus-sized frame.
     */
   def rewriteWithMapping(triples: Dataset[Triple], mapping: DataFrame): Dataset[Triple] = {
     val spark = triples.sparkSession
     import spark.implicits._
     val skolemPfx = graft.core.Extractor.SkolemPrefix
+    val m = mapping.filter(col("canonical") =!= col("subj"))
 
     val subjSkolem = triples.filter(col("subj").startsWith(skolemPfx))
     val subjPass = triples.filter(!col("subj").startsWith(skolemPfx)).toDF()
     val bySubj = subjSkolem.as("t")
-      .join(mapping.as("ms"), col("t.subj") === col("ms.subj"), "left")
+      .join(m.as("ms"), col("t.subj") === col("ms.subj"), "left")
       .select(coalesce(col("ms.canonical"), col("t.subj")).as("subj"),
         col("t.pred").as("pred"), col("t.obj_iri").as("obj_iri"),
         col("t.obj_lexical").as("obj_lexical"), col("t.obj_datatype").as("obj_datatype"),
@@ -159,7 +180,7 @@ object EntityLink {
     val objSkolem = bySubj.filter(col("obj_iri").isNotNull && col("obj_iri").startsWith(skolemPfx))
     val objPass = bySubj.filter(col("obj_iri").isNull || !col("obj_iri").startsWith(skolemPfx))
     val byObj = objSkolem.as("t")
-      .join(mapping.withColumnRenamed("subj", "o").as("mo"),
+      .join(m.withColumnRenamed("subj", "o").as("mo"),
         col("t.obj_iri") === col("mo.o"), "left")
       .select(col("t.subj").as("subj"), col("t.pred").as("pred"),
         coalesce(col("mo.canonical"), col("t.obj_iri")).as("obj_iri"),

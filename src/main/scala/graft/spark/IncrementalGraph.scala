@@ -128,8 +128,12 @@ object IncrementalGraph {
         refuseTransitive(Entailment.owlEntail(delta))
       case Some(closed) =>
         // full new closure, then keep only rows the standing closure
-        // lacks — the append stays delta-cone-sized
-        val c = closed.localCheckpoint()
+        // lacks — the append stays delta-cone-sized. The standing side is
+        // a disk-backed scan consumed three times (transitive guard,
+        // incremental seed, novelty anti-join): re-scanning pruned parquet
+        // beats localCheckpoint's full materialization of the closure per
+        // fold — the O(|closed|) cost this operator exists to avoid.
+        val c = closed
         refuseTransitive(c)
         val out = Entailment.owlEntailIncremental(c, delta).as("n")
           .join(c.as("o"), Triple.identityCond("n", "o"), "left_anti").as[Triple]

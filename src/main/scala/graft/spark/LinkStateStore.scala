@@ -22,7 +22,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     ([[TableIO.writeMetadata]] is write-then-rename);
   *  3. best-effort drop versions older than the retained window
   *     (default 2 — the new state plus one for readers that resolved the
-  *     pointer just before the flip).
+  *     pointer just before the flip). Retention enumerates version TABLES
+  *     through [[TableIO.listMetadata]], which is exact for the
+  *     path-addressed parquet binding (tables and metadata share the
+  *     directory namespace); an Iceberg binding whose tables live in a
+  *     catalog instead must implement listMetadata to enumerate them (or
+  *     let snapshot expiry own retention and return only true sidecars) —
+  *     otherwise retention is a silent no-op and versions accumulate.
   *
   * A replayed fold (Structured Streaming's foreachBatch is at-least-once; a
   * crashed nightly driver reruns) is idempotent end-to-end: re-folding an
@@ -88,12 +94,25 @@ object LinkStateStore {
            io: TableIO = TableIO.default, retainVersions: Int = 2): DataFrame = {
     val spark = state.sparkSession
     val name = f"v$version%016d"
+    // replay no-op: a version the pointer ALREADY references was fully
+    // committed (the pointer flips only after a complete write), and folds
+    // are idempotent, so the recomputed state is identical — rewriting the
+    // table in place (SaveMode.Overwrite = delete-then-write) would yank
+    // live files from under concurrent readers and, on a crash mid-rewrite,
+    // leave the committed pointer on a half-written table. Skip the write.
+    if (latestVersion(spark, stateDir, io).contains(name))
+      return io.read(spark, s"$stateDir/$name")
     io.write(state, s"$stateDir/$name", Nil)
     io.writeMetadata(spark, stateDir, Pointer, name + "\n")
     // retention AFTER the flip: the dropped versions are unreachable from
     // the pointer; keep >1 so a reader that resolved the pointer moments
-    // before the flip finishes its scan
+    // before the flip finishes its scan. NEVER drop the just-committed
+    // version: a non-monotone version (an operator restarting a stream
+    // with a fresh checkpoint resets batch ids to 0) sorts below standing
+    // names and lexicographic retention would otherwise delete the very
+    // table the pointer now references.
     io.listMetadata(spark, stateDir, "v").sorted.dropRight(math.max(retainVersions, 1))
+      .filter(_ != name)
       .foreach(old => io.dropTable(spark, s"$stateDir/$old"))
     io.read(spark, s"$stateDir/$name")
   }

@@ -248,8 +248,29 @@ class IncrementalGraphSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toMap
     LinkStateStore.fold(t, state, 0L, Seq(Contact))
     val first = m()
+    // the committed version's FILES must survive a replay untouched — an
+    // in-place rewrite (delete-then-write) would yank live files from
+    // under a concurrent reader that just resolved the pointer
+    def files() = new java.io.File(s"$state/v${"%016d".format(0L)}")
+      .listFiles().map(_.getName).toSet
+    val committed = files()
     LinkStateStore.fold(t, state, 0L, Seq(Contact)) // at-least-once replay
     assert(m() == first)
+    assert(files() == committed)
     assert(LinkStateStore.latestVersion(spark, state).contains(f"v${0L}%016d"))
+  }
+
+  test("LinkStateStore.save: a non-monotone version never bricks the pointer") {
+    // operator error: a stream restarts against a standing stateDir with a
+    // FRESH checkpoint, so foreachBatch versions reset to 0 — the commit
+    // sorts below the standing names, and lexicographic retention must not
+    // drop the very table the pointer now references
+    val state = Files.createTempDirectory("graftlss4").toString
+    val t = ExtractPipeline.extract(turns(batch1: _*)).localCheckpoint()
+    LinkStateStore.fold(t, state, 56L, Seq(Contact))
+    LinkStateStore.fold(t, state, 57L, Seq(Contact))
+    LinkStateStore.fold(t, state, 0L, Seq(Contact))
+    assert(LinkStateStore.latestVersion(spark, state).contains(f"v${0L}%016d"))
+    assert(LinkStateStore.loadMapping(spark, state).get.count() > 0)
   }
 }
