@@ -184,7 +184,15 @@ object VectorOps {
     * identically.
     */
   def ivfCentroids(embs: DataFrame, m: Int): DataFrame =
-    withNorm(embs).orderBy(col("vec_id")).limit(m)
+    centroidsFromNormed(withNorm(embs), m)
+
+  /** The ONE centroid stand-in policy (smallest-id members of a pre-normed
+    * frame) — shared by the flat and two-level quantizers so a policy
+    * change (e.g. swapping in trained centroids or a different tie-break)
+    * cannot silently diverge them.
+    */
+  private def centroidsFromNormed(e: DataFrame, m: Int): DataFrame =
+    e.orderBy(col("vec_id")).limit(m)
       .select(col("vec_id").cast("string").as("c_id"),
         col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
 
@@ -207,16 +215,25 @@ object VectorOps {
     *    Catalyst plans a hash join, not a BroadcastNestedLoopJoin.
     */
   def ivfAssign(embs: DataFrame, centroids: DataFrame, nProbe: Int,
-                literalMaxCentroids: Int = 128): DataFrame = {
-    val cents = centroids.collect() // m model rows, like loading any ANN index
-    assignCells(withNorm(embs), cents.length,
+                literalMaxCentroids: Int = 128): DataFrame =
+    // m model rows, like loading any ANN index
+    assignPrepared(withNorm(embs), centroids.collect(), centroids,
+      nProbe, literalMaxCentroids)
+
+  /** [[ivfAssign]] over an already-normed frame and an already-loaded model
+    * — lets multi-pass entry points ([[ivfTopK]]) checkpoint the corpus and
+    * collect the model ONCE instead of per assignment pass.
+    */
+  private def assignPrepared(e: DataFrame, cents: Array[org.apache.spark.sql.Row],
+                             centroidDf: DataFrame, nProbe: Int,
+                             literalMax: Int): DataFrame =
+    assignCells(e, cents.length,
       cents.toIndexedSeq.map { r =>
         struct(lit(r.get(0)).as("cell"),
           typedlit(r.getSeq[Float](1)).as("c_emb"),
           lit(r.getDouble(2)).as("c_nrm"))
       },
-      centroids, dot, nProbe, literalMaxCentroids, keep = Seq("vec_id"))
-  }
+      centroidDf, dot, nProbe, literalMax, keep = Seq("vec_id"))
 
   /** Cosine for ranking, with the degenerate zero-norm case pinned BELOW
     * any real value. A zero-norm side makes the plain division throw under
@@ -279,9 +296,14 @@ object VectorOps {
     * the planted-near-dup corpus.
     */
   def ivfTopK(embs: DataFrame, m: Int, nProbe: Int, k: Int): DataFrame = {
-    val cents = ivfCentroids(embs, m)
-    rankCellPairs(ivfAssign(embs, cents, nProbe), ivfAssign(embs, cents, 1),
-      withNorm(embs), k)
+    // the normed corpus feeds both assignment passes and the exact-rank
+    // join — materialize it once and load the centroid model once (the
+    // discipline ivfTopKTrained / ivfTwoLevelTopK already follow)
+    val e = withNorm(embs).localCheckpoint()
+    val centDf = centroidsFromNormed(e, m)
+    val cents = centDf.collect()
+    rankCellPairs(assignPrepared(e, cents, centDf, nProbe, 128),
+      assignPrepared(e, cents, centDf, 1, 128), e, k)
   }
 
   /** Shared IVF tail: join query probes against single-cell candidate
@@ -471,18 +493,10 @@ object VectorOps {
                       nProbe2: Int, k: Int,
                       literalMaxCentroids: Int = 128): DataFrame = {
     val e = withNorm(embs).localCheckpoint() // one materialization, all stages
-    val cents1 = e.orderBy(col("vec_id")).limit(m1)
-      .select(col("vec_id").cast("string").as("c_id"),
-        col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val cents1 = centroidsFromNormed(e, m1)
     val c1 = cents1.collect() // level-1 model only — m1 rows, never level 2
     def coarseAssign(nP: Int): DataFrame =
-      assignCells(e, c1.length,
-        c1.toIndexedSeq.map { r =>
-          struct(lit(r.get(0)).as("cell"),
-            typedlit(r.getSeq[Float](1)).as("c_emb"),
-            lit(r.getDouble(2)).as("c_nrm"))
-        },
-        cents1, dot, nP, literalMaxCentroids, keep = Seq("vec_id"))
+      assignPrepared(e, c1, cents1, nP, literalMaxCentroids)
         .withColumnRenamed("cell", "coarse")
 
     twoLevelTail(e, coarseAssign(1), coarseAssign(nProbe1), m2, nProbe2, k)

@@ -282,9 +282,19 @@ object Entailment {
     val spark = triples.sparkSession
     import spark.implicits._
 
+    // the full object-typed slice of the transitive predicates — literal
+    // objects included, because prp-trp derives literal-TERMINAL facts too
+    // (x p y ∧ y p "lit" ⇒ x p "lit"; only INTERMEDIATE nodes must be
+    // IRIs, a literal never being a subject)
     def transSlice(ds: Dataset[Triple], preds: Seq[String]): DataFrame =
-      ds.filter(col("pred").isin(preds: _*) && col("obj_iri").isNotNull)
-        .select(col("pred").as("p"), col("subj").as("s"), col("obj_iri").as("o"))
+      ds.filter(col("pred").isin(preds: _*))
+        .select(col("pred").as("p"), col("subj").as("s"), col("obj_iri").as("o"),
+          col("obj_lexical").as("ol"), col("obj_datatype").as("od"),
+          col("obj_lang").as("og"))
+    def sliceCond(d: String, a: String) =
+      col(s"$d.p") === col(s"$a.p") && col(s"$d.s") === col(s"$a.s") &&
+        col(s"$d.o") <=> col(s"$a.o") && col(s"$d.ol") <=> col(s"$a.ol") &&
+        col(s"$d.od") <=> col(s"$a.od") && col(s"$d.og") <=> col(s"$a.og")
 
     var g = owlEntail(triples)
     var round = 0
@@ -296,14 +306,15 @@ object Entailment {
         .select(col("subj")).distinct().collect().map(_.getString(0)).sorted.toSeq
       if (transPreds.isEmpty) { settled = true }
       else {
-        // new transitive edges this round: closure pairs not yet asserted
+        // new transitive facts this round: IRI closure pairs plus their
+        // literal-terminal extensions, minus what is already asserted
         val fresh = transPreds.map { p =>
           val closure = GraphQuery.pathPlus(
             GraphQuery.PersistedGraph(g.toDF(), 0, Map.empty), p,
-            maxIterations = maxPathIterations)
+            maxIterations = maxPathIterations).localCheckpoint()
           val existing = g.filter(col("pred") === p && col("obj_iri").isNotNull)
             .select(col("subj").as("s"), col("obj_iri").as("o"))
-          closure.as("d").join(existing.as("a"),
+          val iriFresh = closure.as("d").join(existing.as("a"),
               col("d.s") === col("a.s") && col("d.o") === col("a.o"), "left_anti")
             .select(col("s").as("subj"), lit(p).as("pred"), col("o").as("obj_iri"),
               lit(null).cast("string").as("obj_lexical"),
@@ -311,12 +322,30 @@ object Entailment {
               lit(null).cast("string").as("obj_lang"),
               lit(null).cast("string").as("conv_id"), lit(-1).as("turn_idx"))
             .as[Triple]
+          // literal-terminal extension (prp-trp with a literal final hop):
+          // x →closure→ y ∧ y p "lit" ⇒ x p "lit"
+          val litFacts = g.filter(col("pred") === p && col("obj_iri").isNull &&
+              col("obj_lexical").isNotNull)
+            .select(col("subj").as("ls"), col("obj_lexical").as("ol"),
+              col("obj_datatype").as("od"), col("obj_lang").as("og"))
+          val litDerived = closure.as("c")
+            .join(litFacts.as("lf"), col("c.o") === col("lf.ls"))
+            .select(col("c.s").as("subj"), lit(p).as("pred"),
+              lit(null).cast("string").as("obj_iri"),
+              col("lf.ol").as("obj_lexical"), col("lf.od").as("obj_datatype"),
+              col("lf.og").as("obj_lang"),
+              lit(null).cast("string").as("conv_id"), lit(-1).as("turn_idx"))
+            .as[Triple]
+          val litExisting = g.filter(col("pred") === p && col("obj_iri").isNull)
+          val litFresh = litDerived.dropDuplicates(Triple.identityCols).as("d")
+            .join(litExisting.as("a"), Triple.identityCond("d", "a"), "left_anti")
+            .as[Triple]
+          iriFresh.union(litFresh)
         }.reduce(_ union _).localCheckpoint()
         if (fresh.isEmpty) settled = true
         else {
           val before = transSlice(g, transPreds)
-            .unionByName(fresh.select(col("pred").as("p"), col("subj").as("s"),
-              col("obj_iri").as("o")))
+            .unionByName(transSlice(fresh, transPreds))
           // g is already closed under the rewrite rules (an owlEntail
           // output), so the incremental form — seeding the semi-naive loop
           // with just the closure's fresh edges — computes the identical
@@ -329,9 +358,7 @@ object Entailment {
           // transitive-pred edge BEYOND the closure we just unioned? If
           // not, those slices are transitively closed — quiescent.
           val beyond = transSlice(g, transPreds).as("d")
-            .join(before.as("a"),
-              col("d.p") === col("a.p") && col("d.s") === col("a.s") &&
-                col("d.o") === col("a.o"), "left_anti")
+            .join(before.as("a"), sliceCond("d", "a"), "left_anti")
           // ... and did it declare a NEW transitive predicate? (A rewrite
           // can derive rdf:type TransitiveProperty facts; a fresh
           // declaration needs its own closure pass next round.)

@@ -490,6 +490,14 @@ object GraphQuery {
     * until nothing new" shape over different rules): distinct
     * `(subj, obj)` pairs connected by one or more `pred` edges.
     *
+    * DOMAIN: IRI-node edges only (`obj_iri`) — the closure-utility shape
+    * its consumers need (entailment's prp-trp IRI chains, reachability,
+    * incremental maintenance over (s, o) pair tables). Literal-TERMINAL
+    * paths are out of this operator's domain: the path-algebra evaluator
+    * ([[evalPath]] on `Plus(P(pred))`, the CLI's `pred+`) includes them,
+    * and [[Entailment.owlEntailWithTransitive]] derives them explicitly
+    * as its literal-extension step.
+    *
     * Spark-first shape, scaled for a 100-TB graph:
     *  - the edge slice is a constant-predicate scan — the pushed
     *    `pred = <lit>` filter plus `pred_bucket` partition pruning on a
@@ -696,6 +704,11 @@ object GraphQuery {
 
   /** Atomic forward edges for one predicate: pushed equality +
     * constant-folded bucket pruning, object coalesced to one term domain.
+    * The coalesce matches the BGP engine's string-typed binding columns
+    * (literal-terminal paths bind their lexical form). Known limitation of
+    * the string domain: a literal whose lexical form EQUALS an IRI in the
+    * graph is indistinguishable from it at a chaining join — exact typed
+    * paths would carry a term-kind column through every binding frame.
     */
   private def atomEdges(g: PersistedGraph, iri: String): DataFrame = {
     var df = g.df.filter(col("pred") === iri)

@@ -240,6 +240,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(Entailment.owlEntailWithTransitive(base).count() == 2)
   }
 
+  test("owlEntailWithTransitive derives literal-TERMINAL facts (prp-trp final hop)") {
+    // prp-trp: x p y ∧ y p z ⇒ x p z, where z MAY be a literal (only
+    // intermediate nodes must be IRIs). a→b→c→"leaf": every ancestor of c
+    // must derive the literal fact, language tag intact.
+    val p = "http://x/anc"
+    val base = Seq(
+      Triple(p, Entailment.RdfType, Entailment.TransitiveProperty, null, null, null, "s", 0),
+      Triple("http://x/a", p, "http://x/b", null, null, null, "c", 0),
+      Triple("http://x/b", p, "http://x/c", null, null, null, "c", 1),
+      Triple("http://x/c", p, null, "leaf", null, "en", "c", 2)).toDS()
+    val out = Entailment.owlEntailWithTransitive(base).collect()
+    def hasLit(s: String) = out.exists(t => t.subj == s && t.pred == p &&
+      t.obj_iri == null && t.obj_lexical == "leaf" && t.obj_lang == "en")
+    assert(hasLit("http://x/a") && hasLit("http://x/b"))
+    // IRI closure still complete alongside
+    assert(out.exists(t => t.subj == "http://x/a" && t.obj_iri == "http://x/c"))
+    // and set semantics hold (no duplicate derivations)
+    assert(out.length == out.map(t =>
+      (t.subj, t.pred, t.obj_iri, t.obj_lexical, t.obj_datatype, t.obj_lang)).distinct.length)
+  }
+
   test("owlEntail cax-eqc: equivalentClass rewrites types in both directions") {
     val base = Seq(
       Triple("http://x/ann", Entailment.RdfType, "http://x/Human", null, null, null, "c", 0),
