@@ -147,10 +147,15 @@ object Extractor {
         else skolem(docId, item.path)
       if (!memory.containsKey(item)) memory.put(item, subject)
 
-      // 3-4) rdf:type per absolute itemtype token; first governs vocab
+      // 3-4) rdf:type per absolute itemtype token; first governs vocab.
+      // Each token passes through uri() (reference: reader.rb maps types
+      // via the same helper as itemid/href) so the opt-in canonicalize/
+      // validate treatments reach type IRIs and the derived vocabulary —
+      // with the default options uri(t, null) is the identity.
       var tpe: String = null
       item.attr("itemtype").getOrElse("").split("\\s+").filter(_.nonEmpty)
-        .filter(Rfc3986.isAbsolute).foreach { t =>
+        .filter(Rfc3986.isAbsolute).foreach { t0 =>
+          val t = uri(t0, null)
           if (tpe == null) tpe = t
           add(subject, RdfType, Term.Iri(t))
         }

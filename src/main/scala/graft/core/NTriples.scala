@@ -60,6 +60,10 @@ object NTriples {
           case 'n' => sb += '\n'; i += 2
           case 'r' => sb += '\r'; i += 2
           case 't' => sb += '\t'; i += 2
+          // ECHAR backspace / form feed: this writer emits them as \uXXXX,
+          // but the reference's writer (RDF::NTriples) uses the named forms
+          case 'b' => sb += '\b'; i += 2
+          case 'f' => sb += '\f'; i += 2
           case '"' => sb += '"'; i += 2
           case '\\' => sb += '\\'; i += 2
           case 'u' =>

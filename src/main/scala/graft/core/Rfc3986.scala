@@ -100,8 +100,12 @@ object Rfc3986 {
     */
   def resolve(baseStr: String, refStr: String): String = {
     // fast path: an absolute ref without dot segments resolves to itself
-    // (the overwhelmingly common case for itemid/href in real markup)
-    if (isAbsolute(refStr) && refStr.indexOf("/.") < 0) return refStr
+    // (the overwhelmingly common case for itemid/href in real markup).
+    // ":." catches a path that STARTS with a dot segment ("http:../a",
+    // "a:./b" — no "/." to match); a non-segment dot after the colon
+    // ("mailto:.user") merely takes the slow path to the same result.
+    if (isAbsolute(refStr) && refStr.indexOf("/.") < 0 &&
+        refStr.indexOf(":.") < 0) return refStr
     val base = parse(baseStr)
     val ref = parse(refStr)
     val t =

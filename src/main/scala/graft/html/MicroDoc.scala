@@ -290,7 +290,13 @@ object MicroDoc {
               ((tag == "dt" || tag == "dd") && (stack.last.tag == "dt" || stack.last.tag == "dd")))
             stack.dropRightInPlace(1)
           openElem(e)
-          if (!selfClose && !VoidTags.contains(tag)) {
+          // HTML5 ignores a stray solidus on non-void elements (the tag
+          // stays OPEN — Nokogiri::HTML5, the reference's parser, does the
+          // same); only FOREIGN content (svg/math subtrees) honors XML
+          // self-closing syntax
+          val foreign = tag == "svg" || tag == "math" ||
+            stack.exists(el => el.tag == "svg" || el.tag == "math")
+          if (!(selfClose && foreign) && !VoidTags.contains(tag)) {
             if (RawText.contains(tag)) {
               val close = "</" + tag
               val e2 = lower.indexOf(close, j)

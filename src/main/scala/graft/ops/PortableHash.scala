@@ -122,19 +122,22 @@ object PortableHash {
     val bits = (0 until nBits).map { b =>
       when(lshProj(emb, tableId * nBits + b) >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    // a NULL embedding gets a NULL bucket (dropped by the bucket equi-join),
-    // NOT bucket 0 — each projection would null out and every bit fall to
-    // otherwise(0), false-pairing the row with all genuine bucket-0 vectors;
-    // this also keeps the LCG and stored-matrix paths in agreement on
-    // degenerate rows (the stored path nulls via its dim guard)
-    when(emb.isNotNull, bits)
+    // a NULL embedding — or one with a NULL ELEMENT, which nulls every
+    // projection the same way — gets a NULL bucket (dropped by the bucket
+    // equi-join), NOT bucket 0: every bit would fall to otherwise(0),
+    // false-pairing the row with all genuine bucket-0 vectors; this also
+    // keeps the LCG and stored-matrix paths in agreement on degenerate rows
+    when(emb.isNotNull && !exists(emb, x => x.isNull), bits)
   }
 
   def lshBucketSql(emb: String, tableId: String, nBits: Int): String = {
     val bits = (0 until nBits).map { b =>
       s"(CASE WHEN (${lshProjSql(emb, s"($tableId)*$nBits + $b")}) >= 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString("(", " + ", ")")
-    s"(CASE WHEN ($emb) IS NULL THEN NULL ELSE $bits END)"
+    // twin of the Column path's degenerate-row guard: NULL array OR any
+    // NULL element → NULL bucket
+    s"(CASE WHEN ($emb) IS NULL OR len(list_filter($emb, gx -> gx IS NULL)) > 0 " +
+      s"THEN NULL ELSE $bits END)"
   }
 
   /** Scalar twin of [[plane]] (every intermediate is non-negative here, so
@@ -164,10 +167,11 @@ object PortableHash {
       when(graft.functions.FloatDotProduct(emb, planeArr) >= 0, lit(1L << b))
         .otherwise(lit(0L))
     }.reduce(_ + _)
-    // a vector whose length != dim gets a NULL bucket (dropped by the
-    // bucket equi-join → pairs with nothing), never a silent bucket 0 that
-    // would false-pair it with every bucket-0 vector; the LCG path takes
-    // each vector's own length, so ragged corpora should use that path
-    when(size(emb) === dim, bits)
+    // a vector whose length != dim — or with a NULL element, which nulls
+    // the dot products — gets a NULL bucket (dropped by the bucket
+    // equi-join → pairs with nothing), never a silent bucket 0 that would
+    // false-pair it with every bucket-0 vector; the LCG path takes each
+    // vector's own length, so ragged corpora should use that path
+    when(size(emb) === dim && !exists(emb, x => x.isNull), bits)
   }
 }

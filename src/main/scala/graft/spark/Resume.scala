@@ -46,10 +46,19 @@ object Resume {
     *                     CLI's --base-prefix applies on THIS path too
     * @param errorCounter forwarded to extraction so --validate sees soft
     *                     errors from the bucketed writes
-    * @param transform    per-bucket-batch triple transform (e.g. entailment
-    *                     closure) applied before writing; MUST be
-    *                     deterministic so a crashed bucket rewrites
-    *                     idempotently
+    * @param transform    per-bucket-batch triple transform applied before
+    *                     writing; MUST be deterministic (so a crashed
+    *                     bucket rewrites idempotently) and ROW-LOCAL —
+    *                     every output row must keep its source row's
+    *                     conv_id, because that is the resume bucket. A
+    *                     cross-row transform (e.g. an entailment closure,
+    *                     whose derived rows carry null lineage) is both
+    *                     unattributable to a bucket AND semantically wrong
+    *                     under partial resume (a later run would close
+    *                     over only the missing buckets' rows); the write
+    *                     fails fast on the first null-lineage row — run
+    *                     such transforms over the COMPLETED table instead
+    *                     (the ExtractMain --entail persist pattern).
     */
   def writeWithResume(transcripts: DataFrame, outDir: String, nBuckets: Int = 64,
                       registry: RegistryIndex = ExtractPipeline.defaultRegistry,
@@ -68,10 +77,20 @@ object Resume {
     val bucketed = transcripts
       .withColumn("bucket", pmod(crc32(col("conv_id")), lit(nBuckets)))
       .filter(col("bucket").isin(todo: _*))
+    // a null conv_id (a cross-row transform's derived lineage) would land
+    // in the Hive default partition OUTSIDE the manifest protocol — a
+    // partial resume then silently replaces it with a subset. Failing the
+    // WRITE JOB on the first such row keeps the run atomic: a failed
+    // dynamic-overwrite job commits no partitions and no manifest marks.
     val triples = transform(
         ExtractPipeline.extract(bucketed.drop("bucket"), registry, basePrefix,
           errorCounter, uriOptions))
-      .withColumn("bucket", pmod(crc32(col("conv_id")), lit(nBuckets)))
+      .withColumn("bucket",
+        coalesce(pmod(crc32(col("conv_id")), lit(nBuckets)),
+          raise_error(lit("writeWithResume: transform emitted a row without " +
+            "conv_id lineage — per-bucket resume needs row-local transforms; " +
+            "run cross-row transforms (entailment closure) over the " +
+            "completed table instead")).cast("bigint")))
 
     // dynamic overwrite (writer-scoped option, not a session-wide conf):
     // replaces only the partitions being (re)written, so a half-written

@@ -529,8 +529,23 @@ class ExtractorSpec extends AnyFunSuite {
       UriOptions(canonicalize = true))
     assert(r.triples.exists(_.subj == "http://ex.org/q"))
     assert(r.triples.exists(t => t.obj == graft.model.Term.Iri("https://a.b/%2F")))
-    // itemtype tokens are NOT uri()-routed (reference: types resolve as
-    // given) — the rdf:type object stays verbatim
+    // itemtype tokens ARE uri()-routed (reader.rb:247 maps each through the
+    // same helper as itemid/href) — an already-canonical type stays put
     assert(r.triples.exists(t => t.obj == graft.model.Term.Iri("http://schema.org/Person")))
+  }
+
+  test("UriOptions.canonicalize reaches itemtype tokens AND the derived vocabulary") {
+    val html = """<div itemscope itemtype="HTTP://Schema.ORG/Person"><span itemprop="name">Ann</span></div>"""
+    val r = Extractor.extract(html, "d", null, TestGraph.testRegistry,
+      UriOptions(canonicalize = true))
+    assert(r.triples.exists(t => t.obj == graft.model.Term.Iri("http://schema.org/Person")),
+      "rdf:type object must be the canonical IRI")
+    // vocab derives from the CANONICAL first type, so the registry entry is
+    // found and the property lands in schema.org (the verbatim uppercase
+    // form would miss the registry and mint HTTP://Schema.ORG/name)
+    assert(r.triples.exists(_.pred == "http://schema.org/name"))
+    // options off: fixture-verbatim behavior, uppercase type kept as given
+    val v = Extractor.extract(html, "d", null, TestGraph.testRegistry)
+    assert(v.triples.exists(t => t.obj == graft.model.Term.Iri("HTTP://Schema.ORG/Person")))
   }
 }

@@ -14,6 +14,13 @@ class Rfc3986Spec extends AnyFunSuite {
     assert(Rfc3986.resolve("http://example.com/a/b", "#f") == "http://example.com/a/b#f")
     assert(Rfc3986.resolve("http://example.com/a/b", "?q") == "http://example.com/a/b?q")
   }
+  test("absolute ref with a LEADING dot segment normalizes (fast path must not skip it)") {
+    assert(Rfc3986.resolve("http://a/b", "http:../c") == "http:c")
+    assert(Rfc3986.resolve("http://a/b", "a:./b") == "a:b")
+    assert(Rfc3986.resolve("http://a/b", "http://c/d/../e") == "http://c/e")
+    // a non-segment dot after the colon takes the slow path to the same result
+    assert(Rfc3986.resolve("http://a/b", "mailto:.user") == "mailto:.user")
+  }
   test("empty ref returns base (doap itemid='')") {
     assert(Rfc3986.resolve("https://rubygems.org/gems/rdf-microdata", "") ==
       "https://rubygems.org/gems/rdf-microdata")
@@ -138,6 +145,26 @@ class MicroDocSpec extends AnyFunSuite {
     val back = NTriples.parse(line)
     assert(back.head.subj == t.subj && back.head.pred == t.pred)
     assert(back.head.obj == t.obj)
+  }
+  test("NTriples: ECHAR \\b and \\f escapes parse (the reference's writer emits the named forms)") {
+    import graft.model.{RawTriple, Term}
+    val ts = NTriples.parse("<http://s> <http://p> \"a\\bb\\fc\" .")
+    assert(ts.head.obj == Term.Lit("a\bb\fc"))
+    // round-trip through this writer's \uXXXX forms
+    val line = NTriples.serialize(Seq(RawTriple("http://s", "http://p", ts.head.obj)))
+    assert(NTriples.parse(line).head.obj == ts.head.obj)
+  }
+  test("stray solidus on a non-void HTML element is ignored (tag stays open, HTML5)") {
+    val d = MicroDoc.parse("""<div><span itemprop="a"/>text</div>""")
+    val span = d.root.elements.head.elements.head
+    assert(span.tag == "span")
+    assert(span.innerText == "text", "HTML5: <span/> does NOT close — the text is its child")
+  }
+  test("foreign content (svg/math) honors XML self-closing syntax") {
+    val d = MicroDoc.parse("""<svg><circle r="1"/><rect/></svg>""")
+    val svg = d.root.elements.head
+    assert(svg.elements.map(_.tag) == Seq("circle", "rect"))
+    assert(svg.elements.forall(_.elements.isEmpty))
   }
   test("NTriples: unterminated literal is a diagnostic, not StringIndexOutOfBounds") {
     val e = intercept[IllegalArgumentException] {

@@ -118,6 +118,26 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding with a NULL ELEMENT gets a NULL bucket on BOTH paths") {
+    // a null element nulls every dot product, so without the guard each bit
+    // would fall to otherwise(0) and the row would false-pair with every
+    // genuine bucket-0 vector
+    val one = spark.range(1)
+    val df = one.select(lit("a").as("vec_id"),
+        expr("array(cast(1.0 as float), cast(null as float), cast(3.0 as float))").as("embedding"))
+      .unionByName(one.select(lit("b").as("vec_id"),
+        expr("array(cast(1.0 as float), cast(2.0 as float), cast(3.0 as float))").as("embedding")))
+    for (storedDim <- Seq(None, Some(3))) {
+      val rows = VectorOps.lshBuckets(df, nBits = 4, nTables = 2, storedDim = storedDim)
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      val byId = rows.groupBy(_._1)
+      assert(byId("a").forall(_._2.isEmpty),
+        s"null-element embedding must bucket to NULL (storedDim=$storedDim)")
+      assert(byId("b").forall(_._2.nonEmpty))
+    }
+  }
+
   test("near-dup groups pair every original with exactly its copy") {
     val groups = VectorOps.nearDupGroups(corpus, nBits = 8, nTables = 4, threshold = 0.9)
       .collect().map(r => (r.getString(0), r.getString(1)))

@@ -51,6 +51,26 @@ class ComponentsSpec extends AnyFunSuite {
     assert(Resume.readGraph(spark, out).count() == full)
   }
 
+  test("Resume: a transform emitting rows without conv_id lineage fails the write atomically") {
+    // a cross-row transform (e.g. an entailment closure) derives rows with
+    // null lineage — unattributable to a resume bucket and semantically
+    // wrong under partial resume; the write must fail, and a FAILED dynamic
+    // overwrite commits no partitions and no manifest marks
+    val out = "file://" + Files.createTempDirectory("graftresume_nl").toString
+    val t = Transcripts.synthetic(spark, 50, 5)
+    val derived = graft.model.Triple("http://ex.org/s", "http://ex.org/p",
+      "http://ex.org/o", null, null, null, null, -1)
+    val e = intercept[Exception] {
+      Resume.writeWithResume(t, out, nBuckets = 4,
+        transform = ds => ds.unionByName(Seq(derived).toDS()))
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("conv_id lineage")), msgs(e).mkString(" | "))
+    assert(Resume.completedBuckets(spark, out).isEmpty,
+      "a failed write must leave no manifest marks — the rerun starts clean")
+  }
+
   test("N-Triples sink/source round-trips the canonical graph exactly") {
     val dir = Files.createTempDirectory("graftnt").toString
     val t = Transcripts.synthetic(spark, 300, 15)
