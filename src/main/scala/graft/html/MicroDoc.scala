@@ -294,9 +294,9 @@ object MicroDoc {
           // stays OPEN — Nokogiri::HTML5, the reference's parser, does the
           // same); only FOREIGN content (svg/math subtrees) honors XML
           // self-closing syntax
-          val foreign = tag == "svg" || tag == "math" ||
-            stack.exists(el => el.tag == "svg" || el.tag == "math")
-          if (!(selfClose && foreign) && !VoidTags.contains(tag)) {
+          val selfCloseForeign = selfClose && (tag == "svg" || tag == "math" ||
+            stack.exists(el => el.tag == "svg" || el.tag == "math"))
+          if (!selfCloseForeign && !VoidTags.contains(tag)) {
             if (RawText.contains(tag)) {
               val close = "</" + tag
               val e2 = lower.indexOf(close, j)
