@@ -26,7 +26,20 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g): local[32] runs 32 concurrent tasks against ONE
+  // unified memory pool — at 8g that is <150 MB of execution memory per
+  // task slot, so the wide aggregations/joins of the suite spill, and the
+  // bench loop's localCheckpoint blocks (3 samples x ~80 queries) evict
+  // each other into a GC spiral (BENCH_r05: doc_dedup_groups 4s -> 88s
+  // across samples in one JVM). The sandbox has 128 GiB; a cluster
+  // deployment sizes executor memory to cores the same way (guide §5).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // The suite generates hundreds of whole-stage-codegen classes; the JDK
+  // default 240 MB code cache fills, JIT compilation stops, and fresh
+  // generated code runs interpreted (measured up to 13x inflation —
+  // Bench.scala's extraction/LSH ordering comments). 512 MB keeps every
+  // plan's generated code compiled.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
 ) ++
   // Faithful N-core proxy for scaling runs: cap what the JVM believes the
   // machine has (GC threads, common pools) — otherwise a local[8] run

@@ -152,7 +152,32 @@ object SparkEntry {
     ExtractPipeline.canonicalize(ExtractPipeline.extract(all)).toDF()
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Drop storage blocks a PREVIOUS query invocation left behind (guide §5:
+    * unpersist when done — "cached data competes with execution memory").
+    * Every query pipeline materializes its intermediates with eager
+    * `localCheckpoint()` calls that are only reachable within that one
+    * invocation; the harnesses (Bench samples each query 3x in one JVM,
+    * Verify runs all ~80 sequentially) drop the returned frame after the
+    * action, but the blocks stay pinned until the driver GC happens to run
+    * the async ContextCleaner. Across 3 samples x ~80 queries those
+    * leftovers fill the unified memory pool, evict each other to disk and
+    * drive full-GC churn — BENCH_r05 measured doc_dedup_groups inflating
+    * 4s -> 88s across its own three samples from exactly this. Each query
+    * starts by releasing everything still persisted: at that moment no
+    * earlier frame can be live (queries are self-contained — they rebuild
+    * all state from the parquet inputs; the cross-invocation caches hold
+    * PATHS to on-disk layouts, never RDDs).
+    */
+  private def dropLeftoverBlocks(s: SparkSession): Unit =
+    s.sparkContext.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = false))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (name, fn) =>
+      name -> ((s: SparkSession, dir: String) => { dropLeftoverBlocks(s); fn(s, dir) })
+    }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- KG extraction (oracle reconstructs expected triples) ----
     "kg_types" -> ((s, dir) =>
       customerTriples(s, dir)

@@ -537,7 +537,7 @@ object GraphQuery {
         .map(p => col("pred_bucket") === pmod(hash(lit(p)), lit(g.predBuckets)))
         .reduce(_ || _)) // each side folds to a literal → partition filter
     val edges = slice.select(col("subj").as("s"), col("obj_iri").as("o")).distinct()
-    seminaiveClosure(edges, edges, maxIterations, preds.mkString("|"))
+    fullClosure(edges, maxIterations, preds.mkString("|"))
   }
 
   /** Transitive closure of a bare (s, o) edge frame — [[pathPlus]] without
@@ -545,10 +545,8 @@ object GraphQuery {
     * (entity-link outputs, diff batches). Same semi-naive machinery and
     * the same THROW on a live frontier at the iteration cap.
     */
-  def closePairs(edges: DataFrame, maxIterations: Int = 64): DataFrame = {
-    val e = edges.select(col("s"), col("o")).distinct()
-    seminaiveClosure(e, e, maxIterations, "closePairs")
-  }
+  def closePairs(edges: DataFrame, maxIterations: Int = 64): DataFrame =
+    fullClosure(edges.select(col("s"), col("o")), maxIterations, "closePairs")
 
   /** INCREMENTAL transitive-closure maintenance — the path twin of
     * [[Entailment.owlEntailIncremental]]: given the CLOSED pair set of a
@@ -595,14 +593,22 @@ object GraphQuery {
     */
   private def seminaiveClosure(edgesIn: DataFrame, seed: DataFrame,
                                maxIterations: Int, what: String): DataFrame = {
-    val edges = edgesIn.select(col("s").as("e_s"), col("o").as("e_o")).localCheckpoint()
-    var deltas = List(seed.select(col("s"), col("o")).distinct().localCheckpoint())
-    var delta = deltas.head
+    val edgesRaw = edgesIn.select(col("s"), col("o")).localCheckpoint()
+    singleTaskClosure(edgesRaw, Some(seed.select(col("s"), col("o")).distinct()),
+        maxIterations, what)
+      .getOrElse(seminaiveClosureDistributed(edgesRaw, seed, maxIterations, what))
+  }
+
+  /** The distributed one-hop semi-naive loop (the pre-threshold shape). */
+  private def seminaiveClosureDistributed(edgesRaw: DataFrame, seed: DataFrame,
+                                          maxIterations: Int, what: String): DataFrame = {
+    val edges = edgesRaw.select(col("s").as("e_s"), col("o").as("e_o"))
+    var seen = seed.select(col("s"), col("o")).distinct().localCheckpoint()
+    var delta = seen
     var frontierLive = !delta.isEmpty
     var iter = 0
     while (iter < maxIterations && frontierLive) {
       iter += 1
-      val seen = deltas.reduce(_ union _)
       val novel = delta.join(edges, col("o") === col("e_s"))
         .select(col("s"), col("e_o").as("o"))
         .distinct().as("d")
@@ -612,13 +618,163 @@ object GraphQuery {
       delta = novel
       // one emptiness probe per iteration (the while-condition reuses it)
       frontierLive = !novel.isEmpty
-      if (frontierLive) deltas ::= novel
+      // accepted deltas are disjoint and individually checkpointed, so the
+      // running union stays shallow-lineage and duplicate-free
+      if (frontierLive) seen = seen.union(novel)
     }
     if (frontierLive)
       throw new IllegalStateException(
         s"path closure ($what) frontier still live after $maxIterations iterations " +
           "— raise maxIterations; a truncated closure would be silently wrong")
-    deltas.reduce(_ union _)
+    seen
+  }
+
+  /** Edge-count threshold below which a closure runs as ONE in-memory task
+    * — the same size-adaptive escape hatch [[ConnectedComponents.run]]
+    * documents for its union–find path, for the same reason: the
+    * distributed fixpoint costs `rounds × jobs/round × fixed scheduler
+    * latency` regardless of data volume, and below this threshold that
+    * driver-side tax dominates while every task is trivially small.
+    * 500k string edges is ~25 MB in one task; the derived pair set is
+    * additionally capped by [[SingleTaskClosureMaxPairs]] — a degenerate
+    * graph (a long chain closes quadratically) overflows the cap and falls
+    * back to the distributed loop instead of eating the task heap.
+    */
+  private[spark] val SingleTaskClosureMaxEdges: Long = 500000L
+  private[spark] val SingleTaskClosureMaxPairs: Long = 20000000L
+
+  private val OverflowMarker = "graft-single-task-closure-overflow"
+
+  /** Try the single-task in-memory closure; None when the edge count is
+    * over the threshold or the pair cap overflowed (caller falls back to
+    * the distributed loop). The in-memory loop is the SAME semi-naive
+    * hop expansion (seeded or full), so the pair set — and the
+    * `maxIterations` live-frontier contract — are identical to the
+    * distributed path's.
+    */
+  private def singleTaskClosure(edges: DataFrame, seed: Option[DataFrame],
+                                maxIterations: Int, what: String): Option[DataFrame] = {
+    if (edges.count() > SingleTaskClosureMaxEdges) return None
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val hasSeed = seed.isDefined
+    val tagged = edges.select(lit(0).as("t"), col("s"), col("o"))
+    val input = seed match {
+      case Some(sd) => tagged.unionByName(sd.select(lit(1).as("t"), col("s"), col("o")))
+      case None => tagged
+    }
+    val maxPairs = SingleTaskClosureMaxPairs
+    val out = input.as[(Int, String, String)].coalesce(1).mapPartitions { it =>
+      val adj = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[String]]()
+      val seen = scala.collection.mutable.HashSet.empty[(String, String)]
+      var delta = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      it.foreach { case (t, s, o) =>
+        if (t == 0) {
+          var buf = adj.get(s)
+          if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty[String]; adj.put(s, buf) }
+          buf += o
+          if (!hasSeed && seen.add((s, o))) delta += ((s, o))
+        } else if (seen.add((s, o))) delta += ((s, o))
+      }
+      var iter = 0
+      while (delta.nonEmpty && iter < maxIterations) {
+        iter += 1
+        val next = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        delta.foreach { case (s, o) =>
+          val outs = adj.get(o)
+          if (outs != null) outs.foreach { o2 =>
+            if (seen.add((s, o2))) next += ((s, o2))
+          }
+        }
+        if (seen.size > maxPairs)
+          throw new IllegalStateException(OverflowMarker)
+        delta = next
+      }
+      if (delta.nonEmpty)
+        throw new IllegalStateException(
+          s"path closure ($what) frontier still live after $maxIterations iterations " +
+            "— raise maxIterations; a truncated closure would be silently wrong")
+      seen.iterator
+    }.toDF("s", "o")
+    // materialize HERE so a pair-cap overflow (or the live-frontier throw)
+    // surfaces now, unwrapped from Spark's task-failure envelope
+    try Some(out.localCheckpoint())
+    catch {
+      case e: Throwable =>
+        val causes = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16).toSeq
+        if (causes.exists(c => c.getMessage != null && c.getMessage.contains(OverflowMarker)))
+          None // over the in-memory pair cap: fall back to the distributed loop
+        else causes.collectFirst {
+          case c: IllegalStateException if c.getMessage.contains("frontier still live") =>
+            throw new IllegalStateException(c.getMessage)
+        }.getOrElse(throw e)
+    }
+  }
+
+  /** Full transitive closure by semi-naive PATH DOUBLING (the "smart" TC of
+    * Valduriez & Boral / Ioannidis: `T_{k+1} = T_k ∪ (Δ_k ∘ T_k)`): round k
+    * composes the last round's NOVEL pairs with the whole closure-so-far,
+    * so the covered path length doubles per round — ceil(log₂ d) + 1
+    * rounds for diameter d, against d rounds of one-hop expansion.
+    * Correctness of the semi-naive restriction: a pair whose shortest path
+    * length L lands in (2^{k-1}, 2^k] splits at its midpoint into a prefix
+    * of length ⌈L/2⌉ ∈ (2^{k-2}, 2^{k-1}] — i.e. a pair that was NOVEL in
+    * round k−1 — and a suffix already in the closure, so `Δ ∘ closure`
+    * derives every new pair and the fixpoint is the exact transitive
+    * closure (same pair set as one-hop semi-naive, verified by the
+    * recursive-CTE oracles).
+    *
+    * Trade-off (guide §1.2 — algorithm first): each round shuffles the
+    * accumulated closure instead of the edge slice, and a pair with many
+    * midpoints is derived once per midpoint before the distinct — doubling
+    * does O(log d) times more join work than one-hop expansion in the
+    * worst case. What it buys is rounds: every round is a full shuffle
+    * barrier whose scheduler/latency floor is paid serially (at bench
+    * scale that floor IS the cost; on a cluster a deep closure pays d
+    * barriers of stragglers). For the long-diameter closures this engine
+    * actually runs (org trees, crawl chains — d ≈ log n or worse), log₂ d
+    * barriers wins at every scale we can measure. Bound-endpoint closures
+    * keep one-hop [[seminaiveClosure]]: their frontier is a cone slice,
+    * and composing it with a full closure would drag in pairs outside the
+    * cone.
+    */
+  private def fullClosure(edgesIn: DataFrame, maxIterations: Int,
+                          what: String): DataFrame = {
+    val e = edgesIn.select(col("s"), col("o")).distinct().localCheckpoint()
+    singleTaskClosure(e, None, maxIterations, what)
+      .getOrElse(fullClosureDoubling(e, maxIterations, what))
+  }
+
+  private def fullClosureDoubling(edgesIn: DataFrame, maxIterations: Int,
+                                  what: String): DataFrame = {
+    var seen = edgesIn
+    var delta = seen
+    var frontierLive = !delta.isEmpty
+    var iter = 0
+    while (iter < maxIterations && frontierLive) {
+      iter += 1
+      // renamed projections, not aliases: round 1 composes `seen` with
+      // ITSELF, and the anti-join's left side derives from `seen` too —
+      // alias-based column refs cannot disambiguate a true self-join
+      val suffix = seen.select(col("s").as("c_s"), col("o").as("c_o"))
+      val novel = delta.join(suffix, col("o") === col("c_s"))
+        .select(col("s"), col("c_o").as("o"))
+        .distinct()
+        .join(seen.select(col("s").as("a_s"), col("o").as("a_o")),
+          col("s") === col("a_s") && col("o") === col("a_o"), "left_anti")
+        .select(col("s"), col("o"))
+        .localCheckpoint()
+      delta = novel
+      frontierLive = !novel.isEmpty
+      // the union of individually-checkpointed disjoint deltas: shallow
+      // lineage, no re-materialization of the whole closure per round
+      if (frontierLive) seen = seen.union(novel)
+    }
+    if (frontierLive)
+      throw new IllegalStateException(
+        s"path closure ($what) frontier still live after $maxIterations iterations " +
+          "— raise maxIterations; a truncated closure would be silently wrong")
+    seen
   }
 
   // --------------------------------------------------------------------
@@ -805,7 +961,7 @@ object GraphQuery {
             val rev = edges.select(col("o").as("s"), col("s").as("o"))
             seminaiveClosure(rev, rev.filter(col("s") === w), maxIter, render(path))
               .select(col("o").as("s"), col("s").as("o"))
-          case _ => seminaiveClosure(edges, edges, maxIter, render(path))
+          case _ => fullClosure(edges, maxIter, render(path))
         }
 
       case Path.Star(p) =>
