@@ -100,9 +100,13 @@ object TextOps {
           i => concat_ws(" ", slice(t, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** Distinct word k-shingles per document. */
+  /** Distinct word k-shingles per document. The input is spread to the
+    * session's parallelism first (guide §2.5): the tokenize+explode here is
+    * the most expensive projection of the dedup family, and a small corpus
+    * arriving as one scan partition would otherwise run it on one core.
+    */
   def shingles(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("doc_id"),
+    graft.spark.Parallelism.spread(docs).select(col("doc_id"),
       explode(array_distinct(gramWindows(tokens(col("text")), k))).as("shingle"))
 
   /** Exact n-gram Jaccard near-duplicate pairs ≥ threshold: explode
@@ -447,7 +451,8 @@ object TextOps {
     * TakeOrderedAndProject, so only k rows ever leave each partition.
     */
   def ngramTopK(docs: DataFrame, n: Int, k: Int): DataFrame = {
-    docs.select(explode(gramWindows(tokens(col("text")), n)).as("gram"))
+    graft.spark.Parallelism.spread(docs)
+      .select(explode(gramWindows(tokens(col("text")), n)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("n_occ"))
       .orderBy(col("n_occ").desc, col("gram").asc)
       .limit(k)
@@ -522,7 +527,8 @@ object TextOps {
     */
   def unigramRarity(docs: DataFrame): DataFrame = {
     def ilog2(c: Column): Column = length(bin(c)) - 1
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tok = graft.spark.Parallelism.spread(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .localCheckpoint() // tokenize once for both the counts and the join
     val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     // the corpus total is ONE scalar — taking it as a count action over the
@@ -742,7 +748,8 @@ object TextOps {
     * order: count desc, pair asc.
     */
   def bpePairCounts(docs: DataFrame, k: Int): DataFrame =
-    docs.select(explode(tokens(col("text"))).as("tok"))
+    graft.spark.Parallelism.spread(docs)
+      .select(explode(tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) >= 2)
       .select(explode(transform(sequence(lit(1), length(col("tok")) - 1),
         i => col("tok").substr(i, lit(2)))).as("pair"))
@@ -945,7 +952,8 @@ object TextOps {
   val SimhashBits = 62
 
   def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tok = graft.spark.Parallelism.spread(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", PortableHash.tokenHash62(col("tok")))
     val votes = (0 until SimhashBits).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i"))

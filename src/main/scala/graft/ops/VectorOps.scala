@@ -34,7 +34,8 @@ object VectorOps {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   private def withNorm(embs: DataFrame): DataFrame =
-    embs.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    graft.spark.Parallelism.spread(embs)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
 
   /** try_divide, not `/`: under Spark 4 ANSI a zero-norm vector would
     * otherwise throw DIVIDE_BY_ZERO and fail the whole job; a null cosine
@@ -130,8 +131,9 @@ object VectorOps {
     * (`lsh_lcg_secs` / `lsh_stored_secs`): this stage is where they differ,
     * the downstream candidate join is byte-identical.
     */
-  def lshBuckets(embs: DataFrame, nBits: Int, nTables: Int,
-                 storedDim: Option[Int] = None): DataFrame =
+  def lshBuckets(embsIn: DataFrame, nBits: Int, nTables: Int,
+                 storedDim: Option[Int] = None): DataFrame = {
+    val embs = graft.spark.Parallelism.spread(embsIn)
     storedDim match {
       case Some(dim) =>
         embs.select(col("vec_id"), explode(array((0 until nTables).map { t =>
@@ -146,6 +148,7 @@ object VectorOps {
           .withColumn("bucket", PortableHash.lshBucket(col("embedding"), col("table_id"), nBits))
           .select(col("vec_id"), col("table_id"), col("bucket"))
     }
+  }
 
   /** Distinct candidate pairs sharing ≥1 LSH bucket in ≥1 table; see
     * [[lshBuckets]] for the `storedDim` fast path.

@@ -64,9 +64,12 @@ object ExtractPipeline {
     val baseCol =
       if (transcripts.columns.contains("base")) col("base").cast("string")
       else lit(null).cast("string")
-    val pre = transcripts
-      .select(col("conv_id"), col("turn_idx"), col("text"), baseCol.as("base"))
-      .filter(markupFilter)
+    // spread AFTER the markup pre-filter (only markup rows shuffle, and
+    // only when the input arrived under-partitioned — guide §2.5; a small
+    // parquet file otherwise serializes the whole HTML parse on one core)
+    val pre = Parallelism.spread(transcripts
+        .select(col("conv_id"), col("turn_idx"), col("text"), baseCol.as("base"))
+        .filter(markupFilter))
       .as[(String, Int, String, String)]
     pre.mapPartitions { it =>
       val reg = bcast.value
