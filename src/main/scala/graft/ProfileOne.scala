@@ -14,7 +14,8 @@ import scala.collection.mutable
   */
 object ProfileOne {
   final case class StageRow(id: Int, name: String, tasks: Int, durMs: Long,
-                            runMs: Long, shufWrite: Long, shufRead: Long)
+                            runMs: Long, gcMs: Long, cpuMs: Long,
+                            shufWrite: Long, shufRead: Long)
 
   def main(args: Array[String]): Unit = {
     val name = args(0)
@@ -38,6 +39,7 @@ object ProfileOne {
         val dur = (for {a <- si.completionTime; b <- si.submissionTime} yield a - b).getOrElse(-1L)
         stages += StageRow(si.stageId, si.name.takeWhile(_ != '\n').take(90),
           si.numTasks, dur, si.taskMetrics.executorRunTime,
+          si.taskMetrics.jvmGCTime, si.taskMetrics.executorCpuTime / 1000000L,
           si.taskMetrics.shuffleWriteMetrics.bytesWritten,
           si.taskMetrics.shuffleReadMetrics.totalBytesRead)
       }
@@ -53,7 +55,7 @@ object ProfileOne {
       if (i == reps - 1 || i == 0) {
         println("  jobs (ms): " + jobs.map(j => s"${j._2}(${j._3}st)").mkString(" "))
         stages.sortBy(-_.durMs).take(18).foreach { s =>
-          println(f"  stage ${s.id}%4d ${s.durMs}%6d ms run=${s.runMs}%7d tasks=${s.tasks}%3d " +
+          println(f"  stage ${s.id}%4d ${s.durMs}%6d ms run=${s.runMs}%7d gc=${s.gcMs}%5d cpu=${s.cpuMs}%7d tasks=${s.tasks}%3d " +
             f"sw=${s.shufWrite}%9d sr=${s.shufRead}%9d  ${s.name}")
         }
       }

@@ -40,7 +40,22 @@ object PortableHash {
   // units, DuckDB folds codepoints — these agree except for astral-plane
   // characters, which the token pre-split also never produces here).
 
+  /** Native codegen expression (graft.functions.CharFold) rather than the
+    * composable `aggregate(split(s, ""), …)` form: higher-order functions
+    * are CodegenFallback — every character cost an interpreted lambda step
+    * plus a per-character allocation from the split, which dominated the
+    * shingle/minhash pipelines. Identical values (spec-asserted against
+    * [[charFoldLegacy]] including astral/empty inputs).
+    */
   def charFold(s: Column, mult: Long, p: Long): Column =
+    graft.functions.CharFold(s, mult, p)
+
+  /** The original composable form — kept as the parity reference the spec
+    * checks the native expression against (it IS the documented semantics:
+    * codepoint elements via split's zero-width regex, ascii = first UTF-16
+    * unit).
+    */
+  private[graft] def charFoldLegacy(s: Column, mult: Long, p: Long): Column =
     aggregate(split(s, ""), lit(0L), (acc, c) => pmod(acc * mult + ascii(c), lit(p)))
 
   def charFoldSql(s: String, mult: Long, p: Long): String =
@@ -106,7 +121,18 @@ object PortableHash {
     * sequential index-order double accumulation (bit-identical both engines).
     * Dimensionality comes from the array itself — nothing hardcoded.
     */
+  /** Native codegen expression (graft.functions.LshProj) rather than the
+    * composable `aggregate(transform(…))` form: the LCG bucketing pass
+    * evaluates nTables·nBits projections per row, and the higher-order
+    * form paid an interpreted lambda step per element per projection.
+    * Bit-identical doubles (same sequential accumulation order;
+    * spec-asserted against [[lshProjLegacy]]).
+    */
   def lshProj(emb: Column, k: Column): Column =
+    graft.functions.LshProj(emb, k)
+
+  /** The original composable form — the parity reference for the spec. */
+  private[graft] def lshProjLegacy(emb: Column, k: Column): Column =
     aggregate(
       transform(emb, (x, i) => x.cast("double") * plane(k, i)),
       lit(0.0), (acc, x) => acc + x)

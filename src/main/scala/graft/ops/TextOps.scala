@@ -91,10 +91,18 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
 
   /** In-order word n-gram occurrence windows over a token array. Documents
-    * shorter than n tokens yield no windows (Spark's sequence(a, b) DESCENDS
-    * when b < a, so the short case must be guarded explicitly).
+    * shorter than n tokens yield no windows. A native codegen expression
+    * (graft.functions.WordGrams) — the composable
+    * `transform(sequence…, i -> concat_ws(" ", slice(t, i+1, n)))` form it
+    * replaces ran interpreted (higher-order functions are CodegenFallback)
+    * and allocated a slice per window, dominating the shingle family's
+    * CPU; parity (incl. null/short inputs) is spec-asserted.
     */
   private def gramWindows(t: Column, n: Int): Column =
+    graft.functions.WordGrams(t, n)
+
+  /** The original composable form — parity reference for the spec. */
+  private[graft] def gramWindowsLegacy(t: Column, n: Int): Column =
     when(size(t) >= n,
         transform(sequence(lit(0), size(t) - n),
           i => concat_ws(" ", slice(t, i + 1, lit(n)))))

@@ -199,17 +199,29 @@ object Entailment {
       predTargets.union(classTargets).as[Triple]
     }
 
+    // a row that can BE a schema edge (the schemaEdges slices' union): one
+    // cheap limit-1 probe of the materialized delta decides whether the
+    // full 7-slice diff plan needs to run at all — derived facts are
+    // almost never schema edges, and the diff used to cost a checkpoint +
+    // emptiness action every iteration regardless
+    val schemaShaped =
+      col("pred").isin(SubPropertyOf, EquivalentProperty, InverseOf,
+        SubClassOf, EquivalentClass) ||
+        (col("pred") === RdfType && col("obj_iri") === SymmetricProperty)
+
     var result = result0
     var delta = delta0
     var edges = edges0
     var seen = targetSlice(result0, edges).localCheckpoint()
     var iter = 0
-    while (iter < maxIterations && !delta.isEmpty) {
+    var deltaLive = !delta.isEmpty
+    while (iter < maxIterations && deltaLive) {
       iter += 1
       // edges introduced by the last delta; the rare nonEmpty case widens
       // the target set, so `seen` is rebuilt
       val newEdges =
         if (iter == 1 && firstDeltaEdgesCovered) None
+        else if (delta.filter(schemaShaped).isEmpty) None
         else {
           val ne = schemaEdges(delta).as("d")
             .join(edges.as("a"),
@@ -226,22 +238,26 @@ object Entailment {
           seen = targetSlice(result, edges).localCheckpoint()
           derive(delta, edges).union(derive(result, ne))
       }
+      // lazy checkpoint + count: ONE action materializes the delta's
+      // blocks AND answers the loop's emptiness question
       val newDelta = derived
         .dropDuplicates(Triple.identityCols)
         .as("d")
         .join(seen.as("a"), antiCond, "left_anti")
         .as[Triple]
-        .localCheckpoint()
-      // accepted deltas are disjoint from everything seen, so plain unions
-      // stay duplicate-free; only `seen` needs re-materializing per round
-      seen = seen.union(newDelta).localCheckpoint()
+        .localCheckpoint(eager = false)
+      deltaLive = newDelta.count() > 0
+      // accepted deltas are disjoint from everything seen and individually
+      // checkpointed, so plain unions stay duplicate-free AND shallow —
+      // no per-round re-materialization of the whole slice
+      seen = seen.union(newDelta)
       result = result.union(newDelta)
       delta = newDelta
     }
-    // a non-empty delta at the iteration cap means the closure is
-    // INCOMPLETE — returning it silently would hand downstream a wrong
-    // graph (same invariant ConnectedComponents enforces on its loop)
-    if (!delta.isEmpty)
+    // a live delta at the iteration cap means the closure is INCOMPLETE —
+    // returning it silently would hand downstream a wrong graph (same
+    // invariant ConnectedComponents enforces on its loop)
+    if (deltaLive)
       throw new IllegalStateException(
         s"entailment fixpoint not reached in $maxIterations iterations — " +
           "the closure is incomplete; raise maxIterations")
