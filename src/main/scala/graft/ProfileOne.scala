@@ -37,7 +37,8 @@ object ProfileOne {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo
         val dur = (for {a <- si.completionTime; b <- si.submissionTime} yield a - b).getOrElse(-1L)
-        stages += StageRow(si.stageId, si.name.takeWhile(_ != '\n').take(90),
+        val scopes = si.rddInfos.sortBy(_.id).map(_.name).distinct.mkString(">")
+        stages += StageRow(si.stageId, scopes.take(110),
           si.numTasks, dur, si.taskMetrics.executorRunTime,
           si.taskMetrics.jvmGCTime, si.taskMetrics.executorCpuTime / 1000000L,
           si.taskMetrics.shuffleWriteMetrics.bytesWritten,

@@ -283,7 +283,10 @@ object SparkEntry {
     // oracle that recomputes the skolem IDs INDEPENDENTLY via sha256 and
     // replays the merge arithmetic — nothing engine-specific survives
     "kg_canonical_contacts" -> ((s, dir) => {
-      val triples = ExtractPipeline.extract(Transcripts.mentions(s, dir))
+      // materialized once: canonicalize consumes its input in ~5 passes
+      // (blocking edges + both rewrite join sides, each side twice), and
+      // an un-checkpointed input would re-run the HTML extraction per pass
+      val triples = ExtractPipeline.extract(Transcripts.mentions(s, dir)).localCheckpoint()
       graft.spark.EntityLink.canonicalize(triples, Seq("http://schema.org/contact"))
         .filter(col("pred") === "http://schema.org/contact")
         .select(col("subj"), col("obj_lexical").as("contact"))

@@ -535,8 +535,10 @@ object TextOps {
     */
   def unigramRarity(docs: DataFrame): DataFrame = {
     def ilog2(c: Column): Column = length(bin(c)) - 1
-    val tok = graft.spark.Parallelism.spread(docs)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    // no spread: the plain-token explode is cheap (measured — the
+    // repartition shuffle outweighed the parallelism at any width the
+    // single-file case produces)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .localCheckpoint() // tokenize once for both the counts and the join
     val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     // the corpus total is ONE scalar — taking it as a count action over the
@@ -960,8 +962,10 @@ object TextOps {
   val SimhashBits = 62
 
   def simhash(docs: DataFrame): DataFrame = {
-    val tok = graft.spark.Parallelism.spread(docs)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    // no spread here: the vote aggregation collapses map-side, so the
+    // whole stage is one cheap partial-agg pass — measured, the
+    // repartition shuffle cost more than the parallelism bought
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", PortableHash.tokenHash62(col("tok")))
     val votes = (0 until SimhashBits).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i"))

@@ -63,9 +63,10 @@ object ConnectedComponents {
           unionFindMaxEdges: Long = 10000000L,
           maxEdgesPerInitTask: Long = 2000000L): DataFrame = {
     // materialize the (possibly expensive) upstream pair pipeline exactly
-    // once; the count that picks the strategy then scans cached blocks
+    // once; lazy checkpoint + count = ONE action that both stores the
+    // blocks and yields the strategy-picking size
     val raw = edges.select(col("src").cast("string"), col("dst").cast("string"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val n = raw.count()
     if (n <= unionFindMaxEdges) runUnionFind(raw)
     else runDistributed(raw, n, maxIterations, checkpointInterval, maxEdgesPerInitTask)
@@ -99,9 +100,10 @@ object ConnectedComponents {
                   unionFindMaxEdges: Long = 10000000L,
                   maxEdgesPerInitTask: Long = 2000000L): DataFrame = {
     val l = labels.select(col("node"), col("component")).localCheckpoint()
+    // one action materializes the delta AND answers the emptiness question
     val e = newEdges.select(col("src").cast("string"), col("dst").cast("string"))
-      .localCheckpoint()
-    if (e.isEmpty) return l
+      .localCheckpoint(eager = false)
+    if (e.count() == 0) return l
     // the slice of the standing labels the delta can touch
     val endpoints = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()

@@ -157,9 +157,11 @@ object Entailment {
     // anti-join, schema-edge slice, target slice), never shuffled.
     val base = closed
     import closed.sparkSession.implicits._
+    // one action materializes the fresh slice AND answers the emptiness probe
     val fresh = delta.dropDuplicates(Triple.identityCols).as("d")
-      .join(base.as("a"), antiCond, "left_anti").as[Triple].localCheckpoint()
-    if (fresh.isEmpty) return base
+      .join(base.as("a"), antiCond, "left_anti").as[Triple]
+      .localCheckpoint(eager = false)
+    if (fresh.count() == 0) return base
     // edges from CLOSED only: the first-iteration diff then surfaces the
     // delta's own schema edges and replays them against the closed graph
     entailFrom(base.union(fresh), fresh,
@@ -177,9 +179,183 @@ object Entailment {
     *        delta0's schema edges (full closure); false makes the
     *        new-edge diff run from iteration 1 (incremental)
     */
+  /** Facts threshold under which the rewrite fixpoint runs as ONE
+    * in-memory task — the same size-adaptive escape hatch
+    * [[ConnectedComponents.run]] and [[GraphQuery]]'s closures use, for
+    * the same reason: each fixpoint iteration costs several
+    * scheduler-bound jobs regardless of data volume. The rewrite-edge
+    * table is vocabulary-sized by construction (already the broadcast
+    * assumption), so collecting it is the same driver cost the broadcast
+    * path pays. Above the threshold — any real-scale graph — the
+    * distributed semi-naive loop runs unchanged.
+    */
+  private[spark] val SingleTaskMaxFacts: Long = 300000L
+  private[spark] val SingleTaskMaxResult: Long = 3000000L
+  private val OverflowMarker = "graft-single-task-entail-overflow"
+
   private def entailFrom(result0: Dataset[Triple], delta0: Dataset[Triple],
                          edges0: DataFrame, firstDeltaEdgesCovered: Boolean,
                          maxIterations: Int): Dataset[Triple] = {
+    entailSingleTask(result0, delta0, edges0, firstDeltaEdgesCovered, maxIterations)
+      .getOrElse(entailFromDistributed(result0, delta0, edges0,
+        firstDeltaEdgesCovered, maxIterations))
+  }
+
+  /** The in-memory twin of [[entailFromDistributed]]: identical rule
+    * application ([[derive]]'s pred/inv/class kinds), identical new-edge
+    * handling (a derived triple that is itself a schema edge widens the
+    * edge set and replays the WHOLE graph against just the new edges),
+    * identity-column novelty, and the same THROW at the iteration cap —
+    * asserted equal to the distributed path by EntailmentParitySpec.
+    * Returns None above [[SingleTaskMaxFacts]] or when the result
+    * overflows [[SingleTaskMaxResult]] (fallback to distributed).
+    */
+  private def entailSingleTask(result0: Dataset[Triple], delta0: Dataset[Triple],
+                               edges0: DataFrame, firstDeltaEdgesCovered: Boolean,
+                               maxIterations: Int): Option[Dataset[Triple]] = {
+    val spark = result0.sparkSession
+    import spark.implicits._
+    if (result0.count() > SingleTaskMaxFacts) return None
+    // vocabulary-sized by construction — the distributed path broadcasts
+    // exactly this table, so the driver-side footprint is unchanged
+    val edgeArr = edges0.select(col("e_p1"), col("e_p2"), col("e_kind"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val sameFrame = result0 eq delta0
+    val tag = (t: Int, ds: Dataset[Triple]) => ds.toDF().select(
+      lit(t).as("t"), col("subj"), col("pred"), col("obj_iri"), col("obj_lexical"),
+      col("obj_datatype"), col("obj_lang"), col("conv_id"), col("turn_idx"))
+    val input = if (sameFrame) tag(1, result0) else tag(0, result0).unionByName(tag(1, delta0))
+    val maxResult = SingleTaskMaxResult
+    val firstCovered = firstDeltaEdgesCovered
+    val out = input
+      .as[(Int, String, String, String, String, String, String, String, Int)]
+      .coalesce(1).mapPartitions { it =>
+        def key(f: Triple) = (f.subj, f.pred, f.obj_iri, f.obj_lexical, f.obj_datatype, f.obj_lang)
+        val seen = scala.collection.mutable.HashSet.empty[(String, String, String, String, String, String)]
+        val result = scala.collection.mutable.ArrayBuffer.empty[Triple]
+        var delta = scala.collection.mutable.ArrayBuffer.empty[Triple]
+        it.foreach { case (t, s, p, oi, ol, od, og, cv, ti) =>
+          val f = Triple(s, p, oi, ol, od, og, cv, ti)
+          if (seen.add(key(f))) result += f
+          // the delta seed rides its tag: in the incremental case these
+          // rows also sit inside result0 (already counted above), so they
+          // only seed the loop here, never duplicate the output
+          if (t == 1) delta += f
+        }
+        // rewrite-edge state, indexed per kind by match key
+        val edges = scala.collection.mutable.HashSet.empty[(String, String, String)]
+        val predM = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[String]]()
+        val invM = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[String]]()
+        val classM = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[String]]()
+        def mapFor(kind: String) = kind match {
+          case "pred" => predM
+          case "inv" => invM
+          case _ => classM
+        }
+        def addEdge(e: (String, String, String)): Boolean = {
+          if (!edges.add(e)) return false
+          val m = mapFor(e._3)
+          var buf = m.get(e._1)
+          if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty[String]; m.put(e._1, buf) }
+          buf += e._2
+          true
+        }
+        edgeArr.foreach(addEdge)
+        // schemaEdges twin: the rewrite edges a fact set asserts
+        def schemaEdgesOf(fs: Iterable[Triple]): Seq[(String, String, String)] = {
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+          fs.foreach { f =>
+            if (f.obj_iri != null) f.pred match {
+              case SubPropertyOf => out += ((f.subj, f.obj_iri, "pred"))
+              case EquivalentProperty =>
+                out += ((f.subj, f.obj_iri, "pred")); out += ((f.obj_iri, f.subj, "pred"))
+              case InverseOf =>
+                out += ((f.subj, f.obj_iri, "inv")); out += ((f.obj_iri, f.subj, "inv"))
+              case SubClassOf => out += ((f.subj, f.obj_iri, "class"))
+              case EquivalentClass =>
+                out += ((f.subj, f.obj_iri, "class")); out += ((f.obj_iri, f.subj, "class"))
+              case RdfType if f.obj_iri == SymmetricProperty =>
+                out += ((f.subj, f.subj, "inv"))
+              case _ => ()
+            }
+          }
+          out.toSeq
+        }
+        // derive() twin over one fact against the given per-kind maps
+        def deriveInto(f: Triple, pm: java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[String]],
+                       im: java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[String]],
+                       cm: java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[String]],
+                       sink: scala.collection.mutable.ArrayBuffer[Triple]): Unit = {
+          val pt = pm.get(f.pred)
+          if (pt != null) pt.foreach { p2 =>
+            sink += Triple(f.subj, p2, f.obj_iri, f.obj_lexical, f.obj_datatype, f.obj_lang, null, -1)
+          }
+          if (f.obj_iri != null) {
+            val iv = im.get(f.pred)
+            if (iv != null) iv.foreach { p2 =>
+              sink += Triple(f.obj_iri, p2, f.subj, null, null, null, null, -1)
+            }
+            if (f.pred == RdfType) {
+              val ct = cm.get(f.obj_iri)
+              if (ct != null) ct.foreach { c2 =>
+                sink += Triple(f.subj, RdfType, c2, null, null, null, null, -1)
+              }
+            }
+          }
+        }
+        var iter = 0
+        while (delta.nonEmpty && iter < maxIterations) {
+          iter += 1
+          val derived = scala.collection.mutable.ArrayBuffer.empty[Triple]
+          val newEdges =
+            if (iter == 1 && firstCovered) Nil
+            else schemaEdgesOf(delta).filterNot(edges.contains).distinct
+          if (newEdges.isEmpty) {
+            delta.foreach(deriveInto(_, predM, invM, classM, derived))
+          } else {
+            newEdges.foreach(addEdge)
+            delta.foreach(deriveInto(_, predM, invM, classM, derived))
+            // replay the WHOLE graph against just the new edges
+            val np = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[String]]()
+            val ni = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[String]]()
+            val nc = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[String]]()
+            newEdges.foreach { e =>
+              val m = e._3 match { case "pred" => np; case "inv" => ni; case _ => nc }
+              var buf = m.get(e._1)
+              if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty[String]; m.put(e._1, buf) }
+              buf += e._2
+            }
+            result.foreach(deriveInto(_, np, ni, nc, derived))
+          }
+          val next = scala.collection.mutable.ArrayBuffer.empty[Triple]
+          derived.foreach { f =>
+            if (seen.add(key(f))) { result += f; next += f }
+          }
+          if (result.size > maxResult) throw new IllegalStateException(OverflowMarker)
+          delta = next
+        }
+        if (delta.nonEmpty)
+          throw new IllegalStateException(
+            s"entailment fixpoint not reached in $maxIterations iterations — " +
+              "the closure is incomplete; raise maxIterations")
+        result.iterator
+      }
+    try Some(out.localCheckpoint())
+    catch {
+      case e: Throwable =>
+        val causes = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16).toSeq
+        if (causes.exists(c => c.getMessage != null && c.getMessage.contains(OverflowMarker)))
+          None
+        else causes.collectFirst {
+          case c: IllegalStateException if c.getMessage.contains("fixpoint not reached") =>
+            throw new IllegalStateException(c.getMessage)
+        }.getOrElse(throw e)
+    }
+  }
+
+  private def entailFromDistributed(result0: Dataset[Triple], delta0: Dataset[Triple],
+                                    edges0: DataFrame, firstDeltaEdgesCovered: Boolean,
+                                    maxIterations: Int): Dataset[Triple] = {
     val spark = result0.sparkSession
     import spark.implicits._
     val antiCond = Triple.identityCond("d", "a")

@@ -566,12 +566,99 @@ object GraphQuery {
                           maxIterations: Int = 64): DataFrame = {
     val c = closedPairs.select(col("s"), col("o")).localCheckpoint()
     val d = newEdges.select(col("s"), col("o")).distinct()
-    val r = c.union(d).distinct()
-    val suffix = seminaiveClosure(r, d, maxIterations, "pathPlusIncremental")
-      .localCheckpoint()
-    val prefixed = c.as("pc").join(suffix.as("px"), col("pc.o") === col("px.s"))
-      .select(col("pc.s").as("s"), col("px.o").as("o"))
-    c.union(suffix).union(prefixed).distinct()
+    incrementalSingleTask(c, d, maxIterations).getOrElse {
+      val r = c.union(d).distinct()
+      val suffix = seminaiveClosure(r, d, maxIterations, "pathPlusIncremental")
+        .localCheckpoint()
+      val prefixed = c.as("pc").join(suffix.as("px"), col("pc.o") === col("px.s"))
+        .select(col("pc.s").as("s"), col("px.o").as("o"))
+      c.union(suffix).union(prefixed).distinct()
+    }
+  }
+
+  /** Single-task twin of the incremental decomposition `C ∪ (Δ ∘ (C∪Δ)*)
+    * ∪ (C ∘ Δ ∘ (C∪Δ)*)` for standing closures under the
+    * [[SingleTaskClosureMaxEdges]] threshold — same rationale as
+    * [[singleTaskClosure]] (the three-stage DataFrame pipeline costs ~8
+    * scheduler-bound jobs regardless of data size). Identical pair set:
+    * the in-memory loop replays the exact seeded expansion, prefix join
+    * and final distinct. None above the threshold or past the pair cap
+    * (caller falls back to the distributed pipeline).
+    */
+  private def incrementalSingleTask(c: DataFrame, d: DataFrame,
+                                    maxIterations: Int): Option[DataFrame] = {
+    if (c.count() > SingleTaskClosureMaxEdges) return None
+    val spark = c.sparkSession
+    import spark.implicits._
+    val input = c.select(lit(0).as("t"), col("s"), col("o"))
+      .unionByName(d.select(lit(1).as("t"), col("s"), col("o")))
+    val maxPairs = SingleTaskClosureMaxPairs
+    val out = input.as[(Int, String, String)].coalesce(1).mapPartitions { it =>
+      val cPairs = scala.collection.mutable.HashSet.empty[(String, String)]
+      val dPairs = scala.collection.mutable.HashSet.empty[(String, String)]
+      it.foreach { case (t, s, o) =>
+        if (t == 0) cPairs.add((s, o)) else dPairs.add((s, o))
+      }
+      // hop edges r = C ∪ Δ, adjacency by source
+      val adj = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[String]]()
+      def addEdge(s: String, o: String): Unit = {
+        var buf = adj.get(s)
+        if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty[String]; adj.put(s, buf) }
+        buf += o
+      }
+      cPairs.foreach { case (s, o) => addEdge(s, o) }
+      dPairs.foreach { case (s, o) => if (!cPairs.contains((s, o))) addEdge(s, o) }
+      // seeded suffix expansion: Δ ∘ (C∪Δ)*
+      val suffix = scala.collection.mutable.HashSet.empty[(String, String)]
+      var delta = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      dPairs.foreach { p => if (suffix.add(p)) delta += p }
+      var iter = 0
+      while (delta.nonEmpty && iter < maxIterations) {
+        iter += 1
+        val next = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        delta.foreach { case (s, o) =>
+          val outs = adj.get(o)
+          if (outs != null) outs.foreach { o2 =>
+            if (suffix.add((s, o2))) next += ((s, o2))
+          }
+        }
+        if (suffix.size > maxPairs) throw new IllegalStateException(OverflowMarker)
+        delta = next
+      }
+      if (delta.nonEmpty)
+        throw new IllegalStateException(
+          s"path closure (pathPlusIncremental) frontier still live after $maxIterations " +
+            "iterations — raise maxIterations; a truncated closure would be silently wrong")
+      // prefix join C ∘ suffix, then C ∪ suffix ∪ prefixed under set semantics
+      val cByObj = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[String]]()
+      cPairs.foreach { case (s, o) =>
+        var buf = cByObj.get(o)
+        if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty[String]; cByObj.put(o, buf) }
+        buf += s
+      }
+      val result = scala.collection.mutable.HashSet.empty[(String, String)]
+      result ++= cPairs
+      result ++= suffix
+      suffix.foreach { case (ss, so) =>
+        val pres = cByObj.get(ss)
+        if (pres != null) pres.foreach { cs =>
+          result.add((cs, so))
+          if (result.size > maxPairs) throw new IllegalStateException(OverflowMarker)
+        }
+      }
+      result.iterator
+    }.toDF("s", "o")
+    try Some(out.localCheckpoint())
+    catch {
+      case e: Throwable =>
+        val causes = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16).toSeq
+        if (causes.exists(x => x.getMessage != null && x.getMessage.contains(OverflowMarker)))
+          None
+        else causes.collectFirst {
+          case x: IllegalStateException if x.getMessage.contains("frontier still live") =>
+            throw new IllegalStateException(x.getMessage)
+        }.getOrElse(throw e)
+    }
   }
 
   /** Semi-naive transitive expansion — the shared fixpoint core of
