@@ -722,7 +722,10 @@ object SparkEntry {
     // '+' rows are acctbal facts, '-' rows are segment facts, the
     // unchanged bulk never surfaces
     "kg_graph_diff" -> ((s, dir) => {
-      val all = customerTriples(s, dir)
+      // materialized once: graphDiff consumes each filtered side twice
+      // (dedup + the opposite side's anti-join), which would otherwise
+      // re-run the extraction four times
+      val all = customerTriples(s, dir).localCheckpoint()
       ExtractPipeline.graphDiff(
           all.filter(col("pred") =!= "http://schema.org/acctbal"),
           all.filter(col("pred") =!= "http://schema.org/segment"))
