@@ -501,9 +501,13 @@ object Entailment {
         // new transitive facts this round: IRI closure pairs plus their
         // literal-terminal extensions, minus what is already asserted
         val fresh = transPreds.map { p =>
+          // no extra localCheckpoint: pathPlus already returns materialized
+          // state (the single-task closure is a checkpointed frame; the
+          // distributed path a shallow union of checkpointed deltas) — a
+          // second checkpoint re-copied the whole closure per round
           val closure = GraphQuery.pathPlus(
             GraphQuery.PersistedGraph(g.toDF(), 0, Map.empty), p,
-            maxIterations = maxPathIterations).localCheckpoint()
+            maxIterations = maxPathIterations)
           val existing = g.filter(col("pred") === p && col("obj_iri").isNotNull)
             .select(col("subj").as("s"), col("obj_iri").as("o"))
           val iriFresh = closure.as("d").join(existing.as("a"),
@@ -545,7 +549,10 @@ object Entailment {
           // each outer round. The checkpoint bounds plan lineage across
           // outer rounds (g is consumed by pathPlus, both quiescence
           // anti-joins, and the next round).
-          g = owlEntailIncremental(g, fresh).localCheckpoint()
+          // entailFrom's output is already materialized state (single-task:
+          // a checkpointed frame; distributed: base ∪ checkpointed deltas)
+          // — the old extra localCheckpoint re-copied the whole graph
+          g = owlEntailIncremental(g, fresh)
           // closed-by-construction check: did the rewrite fixpoint add any
           // transitive-pred edge BEYOND the closure we just unioned? If
           // not, those slices are transitively closed — quiescent.
