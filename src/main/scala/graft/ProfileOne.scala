@@ -52,6 +52,10 @@ object ProfileOne {
       val t0 = System.nanoTime()
       val rows = fn(spark, sfDir).count()
       val secs = (System.nanoTime() - t0) / 1e9
+      // listener events arrive asynchronously; give the bus a moment to
+      // drain before reading/clearing the buffers (diagnostic tool — a
+      // short settle beats depending on private listener-bus APIs)
+      Thread.sleep(300)
       println(f"== $name rep $i: $secs%.3f s, $rows rows, ${jobs.size} jobs, ${stages.size} stages ==")
       if (i == reps - 1 || i == 0) {
         println("  jobs (ms): " + jobs.map(j => s"${j._2}(${j._3}st)").mkString(" "))

@@ -189,8 +189,10 @@ object Entailment {
     * path pays. Above the threshold — any real-scale graph — the
     * distributed semi-naive loop runs unchanged.
     */
-  private[spark] val SingleTaskMaxFacts: Long = 300000L
-  private[spark] val SingleTaskMaxResult: Long = 3000000L
+  // vars, not vals: the distributed-path parity spec forces the
+  // distributed strategy by dropping these to 0 (and restores them)
+  private[spark] var SingleTaskMaxFacts: Long = 300000L
+  private[spark] var SingleTaskMaxResult: Long = 3000000L
   private val OverflowMarker = "graft-single-task-entail-overflow"
 
   private def entailFrom(result0: Dataset[Triple], delta0: Dataset[Triple],
@@ -340,17 +342,7 @@ object Entailment {
               "the closure is incomplete; raise maxIterations")
         result.iterator
       }
-    try Some(out.localCheckpoint())
-    catch {
-      case e: Throwable =>
-        val causes = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16).toSeq
-        if (causes.exists(c => c.getMessage != null && c.getMessage.contains(OverflowMarker)))
-          None
-        else causes.collectFirst {
-          case c: IllegalStateException if c.getMessage.contains("fixpoint not reached") =>
-            throw new IllegalStateException(c.getMessage)
-        }.getOrElse(throw e)
-    }
+    SingleTaskFallback.materialize(out, OverflowMarker, "fixpoint not reached")
   }
 
   private def entailFromDistributed(result0: Dataset[Triple], delta0: Dataset[Triple],

@@ -536,7 +536,9 @@ object GraphQuery {
       slice = slice.filter(preds
         .map(p => col("pred_bucket") === pmod(hash(lit(p)), lit(g.predBuckets)))
         .reduce(_ || _)) // each side folds to a literal → partition filter
-    val edges = slice.select(col("subj").as("s"), col("obj_iri").as("o")).distinct()
+    // no distinct here: fullClosure dedups its input itself — a second
+    // Deduplicate would cost a redundant full shuffle of the edge slice
+    val edges = slice.select(col("subj").as("s"), col("obj_iri").as("o"))
     fullClosure(edges, maxIterations, preds.mkString("|"))
   }
 
@@ -593,11 +595,17 @@ object GraphQuery {
     val input = c.select(lit(0).as("t"), col("s"), col("o"))
       .unionByName(d.select(lit(1).as("t"), col("s"), col("o")))
     val maxPairs = SingleTaskClosureMaxPairs
+    val maxEdges = SingleTaskClosureMaxEdges
     val out = input.as[(Int, String, String)].coalesce(1).mapPartitions { it =>
       val cPairs = scala.collection.mutable.HashSet.empty[(String, String)]
       val dPairs = scala.collection.mutable.HashSet.empty[(String, String)]
       it.foreach { case (t, s, o) =>
         if (t == 0) cPairs.add((s, o)) else dPairs.add((s, o))
+        // the pre-task count guards only the standing closure; the DELTA
+        // is unsized until here — overflow falls back to the distributed
+        // pipeline instead of eating the task heap
+        if (dPairs.size > maxEdges)
+          throw new IllegalStateException(OverflowMarker)
       }
       // hop edges r = C ∪ Δ, adjacency by source
       val adj = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[String]]()
@@ -617,9 +625,11 @@ object GraphQuery {
         iter += 1
         val next = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
         delta.foreach { case (s, o) =>
-          val outs = adj.get(o)
-          if (outs != null) outs.foreach { o2 =>
-            if (suffix.add((s, o2))) next += ((s, o2))
+          if (o != null) { // NULL hop nodes join nothing (SQL parity)
+            val outs = adj.get(o)
+            if (outs != null) outs.foreach { o2 =>
+              if (suffix.add((s, o2))) next += ((s, o2))
+            }
           }
         }
         if (suffix.size > maxPairs) throw new IllegalStateException(OverflowMarker)
@@ -640,25 +650,17 @@ object GraphQuery {
       result ++= cPairs
       result ++= suffix
       suffix.foreach { case (ss, so) =>
-        val pres = cByObj.get(ss)
-        if (pres != null) pres.foreach { cs =>
-          result.add((cs, so))
-          if (result.size > maxPairs) throw new IllegalStateException(OverflowMarker)
+        if (ss != null) { // NULL suffix source joins nothing (SQL parity)
+          val pres = cByObj.get(ss)
+          if (pres != null) pres.foreach { cs =>
+            result.add((cs, so))
+            if (result.size > maxPairs) throw new IllegalStateException(OverflowMarker)
+          }
         }
       }
       result.iterator
     }.toDF("s", "o")
-    try Some(out.localCheckpoint())
-    catch {
-      case e: Throwable =>
-        val causes = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16).toSeq
-        if (causes.exists(x => x.getMessage != null && x.getMessage.contains(OverflowMarker)))
-          None
-        else causes.collectFirst {
-          case x: IllegalStateException if x.getMessage.contains("frontier still live") =>
-            throw new IllegalStateException(x.getMessage)
-        }.getOrElse(throw e)
-    }
+    SingleTaskFallback.materialize(out, OverflowMarker, "frontier still live")
   }
 
   /** Semi-naive transitive expansion — the shared fixpoint core of
@@ -727,17 +729,25 @@ object GraphQuery {
     * graph (a long chain closes quadratically) overflows the cap and falls
     * back to the distributed loop instead of eating the task heap.
     */
-  private[spark] val SingleTaskClosureMaxEdges: Long = 500000L
-  private[spark] val SingleTaskClosureMaxPairs: Long = 20000000L
+  // vars, not vals: the distributed-path parity specs force the
+  // distributed strategies by dropping the thresholds to 0 (and restore
+  // them) — production code never writes these
+  private[spark] var SingleTaskClosureMaxEdges: Long = 500000L
+  private[spark] var SingleTaskClosureMaxPairs: Long = 20000000L
 
   private val OverflowMarker = "graft-single-task-closure-overflow"
 
   /** Try the single-task in-memory closure; None when the edge count is
     * over the threshold or the pair cap overflowed (caller falls back to
-    * the distributed loop). The in-memory loop is the SAME semi-naive
-    * hop expansion (seeded or full), so the pair set — and the
-    * `maxIterations` live-frontier contract — are identical to the
-    * distributed path's.
+    * the distributed loop). SEEDED closures run the same one-hop
+    * semi-naive expansion as [[seminaiveClosureDistributed]]; FULL
+    * closures run semi-naive DOUBLING (novel pairs join the adjacency, so
+    * covered path length doubles per round) — the same round semantics as
+    * [[fullClosureDoubling]], so the `maxIterations` live-frontier
+    * contract agrees across the size threshold. Traversal never continues
+    * through a NULL hop node, matching the SQL equi-joins' null
+    * rejection (null-endpoint SEED/edge pairs still surface in the
+    * result, as they do distributed — they just extend nothing).
     */
   private def singleTaskClosure(edges: DataFrame, seed: Option[DataFrame],
                                 maxIterations: Int, what: String): Option[DataFrame] = {
@@ -753,13 +763,16 @@ object GraphQuery {
     val maxPairs = SingleTaskClosureMaxPairs
     val out = input.as[(Int, String, String)].coalesce(1).mapPartitions { it =>
       val adj = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[String]]()
+      def addEdge(s: String, o: String): Unit = {
+        var buf = adj.get(s)
+        if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty[String]; adj.put(s, buf) }
+        buf += o
+      }
       val seen = scala.collection.mutable.HashSet.empty[(String, String)]
       var delta = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       it.foreach { case (t, s, o) =>
         if (t == 0) {
-          var buf = adj.get(s)
-          if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty[String]; adj.put(s, buf) }
-          buf += o
+          addEdge(s, o)
           if (!hasSeed && seen.add((s, o))) delta += ((s, o))
         } else if (seen.add((s, o))) delta += ((s, o))
       }
@@ -768,13 +781,19 @@ object GraphQuery {
         iter += 1
         val next = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
         delta.foreach { case (s, o) =>
-          val outs = adj.get(o)
-          if (outs != null) outs.foreach { o2 =>
-            if (seen.add((s, o2))) next += ((s, o2))
+          if (o != null) { // a NULL hop node joins nothing (SQL equi-join parity)
+            val outs = adj.get(o)
+            if (outs != null) outs.foreach { o2 =>
+              if (seen.add((s, o2))) next += ((s, o2))
+            }
           }
         }
         if (seen.size > maxPairs)
           throw new IllegalStateException(OverflowMarker)
+        // FULL closure: doubling — the accepted novel pairs join the
+        // adjacency, so the next round composes against the closure so
+        // far (T_k), not just the edges
+        if (!hasSeed) next.foreach { case (s, o) => addEdge(s, o) }
         delta = next
       }
       if (delta.nonEmpty)
@@ -785,17 +804,7 @@ object GraphQuery {
     }.toDF("s", "o")
     // materialize HERE so a pair-cap overflow (or the live-frontier throw)
     // surfaces now, unwrapped from Spark's task-failure envelope
-    try Some(out.localCheckpoint())
-    catch {
-      case e: Throwable =>
-        val causes = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16).toSeq
-        if (causes.exists(c => c.getMessage != null && c.getMessage.contains(OverflowMarker)))
-          None // over the in-memory pair cap: fall back to the distributed loop
-        else causes.collectFirst {
-          case c: IllegalStateException if c.getMessage.contains("frontier still live") =>
-            throw new IllegalStateException(c.getMessage)
-        }.getOrElse(throw e)
-    }
+    SingleTaskFallback.materialize(out, OverflowMarker, "frontier still live")
   }
 
   /** Full transitive closure by semi-naive PATH DOUBLING (the "smart" TC of

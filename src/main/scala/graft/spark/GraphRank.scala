@@ -58,9 +58,14 @@ object GraphRank {
     // of data volume; the arithmetic is exact commutative integer math,
     // so the two paths are bit-identical by construction)
     val e0 = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
-    if (e0.count() <= 500000L) return pagerankSingleTask(e0, iters)
+    if (e0.count() <= SingleTaskMaxEdges) return pagerankSingleTask(e0, iters)
     pagerankDistributed(e0, iters)
   }
+
+  /** var, not val: the distributed-path parity spec forces the
+    * distributed strategy by dropping this to 0 (and restores it).
+    */
+  private[spark] var SingleTaskMaxEdges: Long = 500000L
 
   private def pagerankSingleTask(e0: DataFrame, iters: Int): DataFrame = {
     val spark = e0.sparkSession
@@ -96,7 +101,9 @@ object GraphRank {
   }
 
   private def pagerankDistributed(e0: DataFrame, iters: Int): DataFrame = {
-    val e = e0.localCheckpoint()
+    // e0 is already materialized (lazy checkpoint + the strategy count) —
+    // a second localCheckpoint would copy every edge into new blocks
+    val e = e0
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()

@@ -4,13 +4,12 @@ import graft.model.Triple
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The rewrite fixpoint has two physical strategies (single in-memory task
-  * under [[Entailment.SingleTaskMaxFacts]], distributed semi-naive above);
-  * this spec proves they produce the identical fact SET on graphs that
-  * exercise every rule kind and the new-edge replay — by comparing the
-  * single-task result (small input takes that path automatically) against
-  * a hand-checked expectation that the distributed path satisfied before
-  * the escape hatch existed, plus a direct two-path comparison through the
-  * owlEntailIncremental seam (closed side forced through both shapes).
+  * under [[Entailment.SingleTaskMaxFacts]], distributed semi-naive above).
+  * This spec pins the SINGLE-TASK path's rule semantics against
+  * hand-checked expectations (every rule kind, chained targets, literal
+  * carry, derived-schema-edge replay, incremental == scratch);
+  * [[DistributedPathParitySpec]] forces the distributed strategies via
+  * the threshold seams and asserts the two paths agree bit-for-bit.
   */
 class EntailmentParitySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
